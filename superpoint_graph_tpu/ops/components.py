@@ -1,0 +1,160 @@
+"""Connected components over active-edge subgraphs, with small-component fusing.
+
+Reference: `libply_c.connected_comp` (partition/ply_c/connected_components.cpp:
+17-110) — Boost connected components over the subgraph of edges flagged active,
+then components smaller than `cutoff` are absorbed into the largest component
+adjacent through *inactive* edges (component id 0 is never an absorb target
+because of the `> 0` guard at connected_components.cpp:82; we inherit the
+behavior, not the bug-compatibility of that guard — see `fuse_component_zero`).
+
+Two implementations:
+  * `connected_components` — host numpy union-find (exact parity oracle, also
+    the practical path for per-cloud preprocessing).
+  * `connected_components_jax` — device-side hooking + pointer-jumping label
+    propagation (Shiloach–Vishkin style) in O(log n) fixed sweeps, used inside
+    the TPU cut-pursuit where a host round-trip per iteration would dominate.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _unionfind_roots(n_ver: int, src: np.ndarray, tgt: np.ndarray) -> np.ndarray:
+    parent = np.arange(n_ver, dtype=np.int64)
+
+    def find(i):
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:
+            parent[i], i = root, parent[i]
+        return root
+
+    for s, t in zip(src, tgt):
+        rs, rt = find(s), find(t)
+        if rs != rt:
+            parent[max(rs, rt)] = min(rs, rt)
+    return np.array([find(i) for i in range(n_ver)])
+
+
+def connected_components(
+    n_ver: int,
+    source: np.ndarray,
+    target: np.ndarray,
+    active_edge: np.ndarray,
+    cutoff: int,
+):
+    """Components of the active subgraph + fuse-small-into-largest-neighbor.
+
+    Returns (components: list[np.ndarray of vertex ids], in_component: [n] int32),
+    matching the libcp/libply_c return convention (ply_c.cpp:465-478).
+    Component ids are ordered by first-vertex occurrence, like Boost's
+    connected_components vertex scan.
+    """
+    source = np.asarray(source, dtype=np.int64)
+    target = np.asarray(target, dtype=np.int64)
+    active = np.asarray(active_edge).astype(bool)
+
+    roots = _unionfind_roots(n_ver, source[active], target[active])
+    # dense ids in first-occurrence order
+    _, first_pos, in_comp = np.unique(roots, return_index=True, return_inverse=True)
+    order = np.argsort(np.argsort(first_pos))
+    in_comp = order[in_comp]
+    n_comp = in_comp.max() + 1 if n_ver else 0
+
+    if cutoff > 0 and n_comp > 1:
+        in_comp = _fuse_small(in_comp, source, target, ~active, cutoff)
+        # re-densify after fusing
+        _, first_pos, in_comp = np.unique(in_comp, return_index=True, return_inverse=True)
+        order = np.argsort(np.argsort(first_pos))
+        in_comp = order[in_comp]
+        n_comp = in_comp.max() + 1
+
+    components = [np.flatnonzero(in_comp == c).astype(np.uint32) for c in range(n_comp)]
+    return components, in_comp.astype(np.int32)
+
+
+def _fuse_small(in_comp, source, target, inactive_mask, cutoff):
+    """Absorb components of size < cutoff into their largest neighbor seen
+    through inactive edges (connected_components.cpp:41-110). Iterates until no
+    undersized component has any neighbor (isolated small ones stay)."""
+    in_comp = in_comp.copy()
+    src_i = source[inactive_mask]
+    tgt_i = target[inactive_mask]
+    for _ in range(64):  # generous bound; each pass strictly shrinks small set
+        sizes = np.bincount(in_comp)
+        small = np.flatnonzero(sizes < cutoff)
+        if small.size == 0:
+            break
+        cs, ct = in_comp[src_i], in_comp[tgt_i]
+        cross = cs != ct
+        changed = False
+        small_set = set(small.tolist())
+        for c in small:
+            # neighbors of c through inactive cross edges
+            nb = np.concatenate([ct[cross & (cs == c)], cs[cross & (ct == c)]])
+            nb = nb[nb != c]
+            if nb.size == 0:
+                continue
+            nb_sizes = sizes[nb]
+            tgt_c = nb[np.argmax(nb_sizes)]
+            # prefer a large host; absorbing small-into-small still converges
+            in_comp[in_comp == c] = tgt_c
+            sizes[tgt_c] += sizes[c]
+            sizes[c] = 0
+            changed = True
+        if not changed:
+            break
+    return in_comp
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def connected_components_jax(
+    source: jax.Array,
+    target: jax.Array,
+    active: jax.Array,
+    n_vertices: int | None = None,
+    *,
+    labels_init: jax.Array | None = None,
+    n_iter: int = 32,
+) -> jax.Array:
+    """Device-side connected-components labels via min-label propagation with
+    pointer jumping. Converges in O(log n) sweeps for typical meshes; `n_iter`
+    sweeps of (edge-hook + 2x path compression). Returns per-vertex root label
+    (NOT densified — use `densify_labels` or host code for dense ids).
+
+    Args:
+      source/target: [E] int32 edge endpoints (direction ignored).
+      active: [E] bool mask of edges participating in connectivity.
+      labels_init: optional [n] initial labels (defaults to iota). Using the
+        vertex index keeps labels comparable across calls.
+    """
+    if labels_init is None:
+        assert n_vertices is not None
+        labels = jnp.arange(n_vertices, dtype=jnp.int32)
+    else:
+        labels = labels_init.astype(jnp.int32)
+    n = labels.shape[0]
+    big = jnp.int32(2147483647)
+
+    def body(_, lab):
+        ls = lab[source]
+        lt = lab[target]
+        m_st = jnp.where(active, jnp.minimum(ls, lt), big)
+        # hook: every vertex takes the min label over its incident active edges
+        new = jax.ops.segment_min(
+            jnp.concatenate([m_st, m_st]),
+            jnp.concatenate([source, target]),
+            num_segments=n,
+        )
+        lab = jnp.minimum(lab, jnp.where(new == big, lab, new))
+        # pointer jumping: labels are vertex ids, chase twice
+        lab = jnp.minimum(lab, lab[lab])
+        lab = jnp.minimum(lab, lab[lab])
+        return lab
+
+    return jax.lax.fori_loop(0, n_iter, body, labels)
