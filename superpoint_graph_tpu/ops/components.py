@@ -112,7 +112,7 @@ def _fuse_small(in_comp, source, target, inactive_mask, cutoff):
     return in_comp
 
 
-@partial(jax.jit, static_argnames=("n_iter",))
+@partial(jax.jit, static_argnames=("n_vertices", "n_iter"))
 def connected_components_jax(
     source: jax.Array,
     target: jax.Array,

@@ -1,0 +1,240 @@
+"""l0 cut pursuit — host-exact solver (parity oracle + CPU fallback).
+
+Solves the generalized minimal partition problem of the reference's absent
+`libcp` submodule (call sites: partition/partition.py:177, supervized_partition/
+losses.py:82, graph_processing.py:164; algorithm: Landrieu & Obozinski, SIAM J.
+Imaging Sci. 2017, l0 variant):
+
+    argmin_x  sum_i nw_i * ||x_i - f_i||^2  +  reg * sum_(u,v) w_uv * [x_u != x_v]
+
+over piecewise-constant x. Alternates (a) a reduced problem over current
+regions (region value = weighted mean) with (b) binary splits of every region
+found by a max-flow min-cut on the unary-cost difference (scipy's C max-flow;
+all regions are cut in ONE flow problem since they are disconnected), and
+(c) recomputing connected regions. Regions whose split yields no energy gain
+are saturated and frozen.
+
+The TPU production path lives in cutpursuit_jax.py; this module is the exact
+oracle it is validated against, and the drop-in for the reference's `libcp`
+API (returns `(components, in_component)` like libcp.cutpursuit).
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy.sparse import csr_matrix
+from scipy.sparse.csgraph import maximum_flow
+
+from .components import connected_components
+
+_FLOW_SCALE = 2**16
+
+
+def _mincut_binary(n, unary0, unary1, src, tgt, pair_w):
+    """Global binary min-cut: label 1 <=> source side.
+
+    E = sum_i unary_{b_i}(i) + sum_e pair_w_e [b_u != b_v].  Standard graph
+    construction: cap(s->i) = unary0[i], cap(i->t) = unary1[i], cap(u<->v) =
+    pair_w. scipy needs integer capacities; costs are scaled to a fixed point.
+    """
+    scale_ref = max(
+        float(np.max(unary0, initial=0.0)),
+        float(np.max(unary1, initial=0.0)),
+        float(np.max(pair_w, initial=0.0)),
+        1e-12,
+    )
+    scale = _FLOW_SCALE / scale_ref
+    s, t = n, n + 1
+    cap_s = np.rint(unary0 * scale).astype(np.int64)
+    cap_t = np.rint(unary1 * scale).astype(np.int64)
+    cap_e = np.rint(pair_w * scale).astype(np.int64)
+
+    rows = np.concatenate([np.full(n, s), np.arange(n), src, tgt])
+    cols = np.concatenate([np.arange(n), np.full(n, t), tgt, src])
+    data = np.concatenate([cap_s, cap_t, cap_e, cap_e])
+    keep = data > 0
+    graph = csr_matrix(
+        (data[keep], (rows[keep], cols[keep])), shape=(n + 2, n + 2), dtype=np.int64
+    )
+    res = maximum_flow(graph, s, t)
+    # source side = vertices reachable from s in the residual graph
+    residual = graph - res.flow
+    residual.data = np.maximum(residual.data, 0)
+    from scipy.sparse.csgraph import breadth_first_order
+
+    order = breadth_first_order(
+        residual, s, directed=True, return_predecessors=False
+    )
+    b = np.zeros(n, dtype=bool)
+    order = order[order < n]
+    b[order] = True
+    return b
+
+
+def _energy(f, nw, in_comp, src, tgt, w, reg):
+    d = f.shape[1]
+    n_comp = in_comp.max() + 1
+    wsum = np.zeros(n_comp)
+    np.add.at(wsum, in_comp, nw)
+    mean = np.zeros((n_comp, d))
+    np.add.at(mean, in_comp, f * nw[:, None])
+    mean /= np.maximum(wsum, 1e-12)[:, None]
+    fid = float(np.sum(nw[:, None] * (f - mean[in_comp]) ** 2))
+    cross = in_comp[src] != in_comp[tgt]
+    return fid + reg * float(np.sum(w[cross])), mean
+
+
+def cutpursuit(
+    features: np.ndarray,
+    source: np.ndarray,
+    target: np.ndarray,
+    edge_weight: np.ndarray,
+    reg_strength: float,
+    cutoff: int = 0,
+    spatial: bool = False,
+    weight_decay: float = 0.7,
+    node_weight: np.ndarray | None = None,
+    max_iter: int = 10,
+    flow_steps: int = 4,
+    seed: int = 0,
+):
+    """Drop-in for `libcp.cutpursuit` (partition.py:177, losses.py:82).
+
+    Args mirror the reference call sites; `spatial` marks that trailing columns
+    are scaled coordinates (they participate in the fidelity like any feature —
+    documented divergence: the absent submodule's exact treatment is
+    unreconstructable, and partition quality is validated statistically).
+    `weight_decay` damps the per-iteration split alternations.
+
+    Returns (components: list of uint32 index arrays, in_component: int32 [n]).
+    """
+    del spatial
+    f = np.ascontiguousarray(features, dtype=np.float64)
+    if f.ndim == 1:
+        f = f[:, None]
+    n, d = f.shape
+    src = np.asarray(source, dtype=np.int64)
+    tgt = np.asarray(target, dtype=np.int64)
+    w = np.asarray(edge_weight, dtype=np.float64)
+    nw = (
+        np.ones(n)
+        if node_weight is None
+        else np.asarray(node_weight, dtype=np.float64)
+    )
+    reg = float(reg_strength)
+    rng = np.random.RandomState(seed)
+
+    in_comp = np.zeros(n, dtype=np.int64)
+    energy, mean = _energy(f, nw, in_comp, src, tgt, w, reg)
+    saturated = np.zeros(1, dtype=bool)
+
+    for it in range(max_iter):
+        n_comp = in_comp.max() + 1
+        # --- split step: binary labels per region via alternating minimization
+        active_v = ~saturated[in_comp]
+        if not active_v.any():
+            break
+        # init split direction: principal component of residuals per region
+        resid = f - mean[in_comp]
+        dirs = np.zeros((n_comp, d))
+        for c in range(n_comp):
+            if saturated[c]:
+                continue
+            rc = resid[in_comp == c]
+            if rc.shape[0] < 2:
+                continue
+            cov = rc.T @ rc
+            ev, evec = np.linalg.eigh(cov)
+            dirs[c] = evec[:, -1]
+        b = np.einsum("nd,nd->n", resid, dirs[in_comp]) > 0
+
+        hp = np.zeros((n_comp, d))
+        hm = np.zeros((n_comp, d))
+        intra = in_comp[src] == in_comp[tgt]
+        e_src, e_tgt, e_w = src[intra], tgt[intra], w[intra]
+        steps = max(1, int(round(flow_steps * (weight_decay ** it) + 0.5)))
+        for _ in range(steps):
+            # centroids of the two sides (weighted); empty side keeps region mean
+            for side, h in ((True, hp), (False, hm)):
+                sel = b == side
+                wsum = np.zeros(n_comp)
+                np.add.at(wsum, in_comp[sel], nw[sel])
+                acc = np.zeros((n_comp, d))
+                np.add.at(acc, in_comp[sel], f[sel] * nw[sel, None])
+                empty = wsum <= 0
+                h[:] = np.where(
+                    empty[:, None], mean, acc / np.maximum(wsum, 1e-12)[:, None]
+                )
+            u1 = nw * np.sum((f - hp[in_comp]) ** 2, axis=1)
+            u0 = nw * np.sum((f - hm[in_comp]) ** 2, axis=1)
+            # freeze saturated regions as side 0 with zero cost asymmetry
+            u1 = np.where(active_v, u1, 1.0)
+            u0 = np.where(active_v, u0, 0.0)
+            b = _mincut_binary(n, u0, u1, e_src, e_tgt, reg * e_w)
+
+        # --- new regions = connected components of constant (region, side)
+        same = intra & (b[src] == b[tgt])
+        comps, new_in_comp = connected_components(n, src, tgt, same, 0)
+        new_in_comp = new_in_comp.astype(np.int64)
+        new_energy, new_mean = _energy(f, nw, new_in_comp, src, tgt, w, reg)
+
+        if new_energy < energy - 1e-9 * max(abs(energy), 1.0):
+            # saturate regions that did not improve: a region is saturated if it
+            # did not split (all its vertices kept one side)
+            n_new = new_in_comp.max() + 1
+            sat_new = np.zeros(n_new, dtype=bool)
+            # map: old region -> set of new regions; unsplit if 1-to-1
+            pair = np.unique(np.stack([in_comp, new_in_comp]), axis=1)
+            old_counts = np.bincount(pair[0], minlength=n_comp)
+            for old_c in np.flatnonzero(old_counts == 1):
+                kids = pair[1, pair[0] == old_c]
+                sat_new[kids] = True
+            in_comp, mean, energy, saturated = new_in_comp, new_mean, new_energy, sat_new
+        else:
+            break
+
+    if cutoff > 0:
+        # fuse regions smaller than cutoff into an adjacent region (absorb into
+        # the largest neighbor, as connected_components.cpp:41-110 does)
+        active = in_comp[src] == in_comp[tgt]
+        _, in_comp32 = connected_components(n, src, tgt, active, cutoff)
+        in_comp = in_comp32.astype(np.int64)
+
+    n_comp = in_comp.max() + 1
+    components = [
+        np.flatnonzero(in_comp == c).astype(np.uint32) for c in range(n_comp)
+    ]
+    return components, in_comp.astype(np.int32)
+
+
+def cutpursuit2(
+    values: np.ndarray,
+    source: np.ndarray,
+    target: np.ndarray,
+    edge_weight: np.ndarray,
+    node_weight: np.ndarray,
+    reg_strength: float,
+    **kw,
+):
+    """Drop-in for `libcp.cutpursuit2` (graph_processing.py:164): l0
+    regularization with per-node fidelity weights; returns the regularized
+    piecewise-constant values and the region assignment."""
+    v = np.ascontiguousarray(values, dtype=np.float64)
+    if v.ndim == 1:
+        v = v[:, None]
+    nw = np.asarray(node_weight, dtype=np.float64)
+    comps, in_comp = cutpursuit(
+        v, source, target, edge_weight, reg_strength, node_weight=nw, **kw
+    )
+    n_comp = in_comp.max() + 1
+    wsum = np.zeros(n_comp)
+    np.add.at(wsum, in_comp, nw)
+    acc = np.zeros((n_comp, v.shape[1]))
+    np.add.at(acc, in_comp, v * nw[:, None])
+    glob = v[nw > 0].mean(axis=0) if (nw > 0).any() else v.mean(axis=0)
+    mean = np.where(
+        (wsum <= 0)[:, None], glob[None, :], acc / np.maximum(wsum, 1e-12)[:, None]
+    )
+    values_reg = mean[in_comp].astype(np.float32)
+    if values.ndim == 1:
+        values_reg = values_reg[:, 0]
+    return values_reg, in_comp

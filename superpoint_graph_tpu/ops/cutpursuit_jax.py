@@ -1,0 +1,212 @@
+"""l0 cut pursuit, TPU-native: every region split in parallel, fully jitted.
+
+The reference's solver (absent `libcp` submodule; SIAM-2017 paper) alternates
+sequential per-region max-flow binary splits with a reduced problem. Max-flow
+is pointer-chasing and inherently sequential — hostile to the MXU/VPU. This
+reformulation keeps the outer cut-pursuit structure but solves every region's
+binary split *simultaneously* with an alternating scheme:
+
+  1. reduced problem: region value = (weighted) mean          -> segment_sum
+  2. split direction: principal component of region residuals -> segment_sum
+     of outer products + batched power iteration (pure VPU)
+  3. binary labeling: iterated conditional modes (ICM) sweeps with
+     checkerboard updates on the unary-difference + graph-penalty field
+     (the exact max-flow of the reference is replaced by this parallel
+     relaxation; partition quality is validated statistically, which is the
+     validation the reference itself admits — its partition is stochastic,
+     README.md:32)
+  4. new regions: label-propagation connected components      -> segment_min
+  5. saturation: regions that stop improving are frozen
+
+Regions are identified by root-vertex id (labels in [0, n)), so no dynamic
+densification is needed inside jit; the host wrapper densifies once at the end.
+Everything is static-shape: one compile per (n, E, d, hyperparams).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .components import connected_components, connected_components_jax
+
+
+def _seg_mean(data, seg, n, weights=None, mask=None):
+    w = jnp.ones(data.shape[0], data.dtype) if weights is None else weights
+    if mask is not None:
+        w = jnp.where(mask, w, 0.0)
+    tot = jax.ops.segment_sum(data * w[:, None], seg, num_segments=n)
+    cnt = jax.ops.segment_sum(w, seg, num_segments=n)
+    return tot / jnp.maximum(cnt, 1e-12)[:, None], cnt
+
+
+def _energy(f, nw, comp, src, tgt, w, reg, n):
+    mean, _ = _seg_mean(f, comp, n, weights=nw)
+    fid = jnp.sum(nw * jnp.sum((f - mean[comp]) ** 2, axis=1))
+    cross = comp[src] != comp[tgt]
+    return fid + reg * jnp.sum(jnp.where(cross, w, 0.0)), mean
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_iter", "icm_sweeps", "flow_steps", "power_iters", "cc_iters"),
+)
+def _solve(
+    f,
+    src,
+    tgt,
+    w,
+    nw,
+    reg,
+    *,
+    max_iter: int = 8,
+    icm_sweeps: int = 4,
+    flow_steps: int = 3,
+    power_iters: int = 8,
+    cc_iters: int = 32,
+):
+    n, d = f.shape
+    iota = jnp.arange(n, dtype=jnp.int32)
+    parity = (iota % 2).astype(bool)
+
+    def split_once(comp, saturated, mean):
+        resid = f - mean[comp]
+        # principal direction per region via power iteration on segment covs
+        cov = jax.ops.segment_sum(
+            (resid[:, :, None] * resid[:, None, :]).reshape(n, d * d),
+            comp,
+            num_segments=n,
+        ).reshape(n, d, d)
+        v = jnp.ones((n, d), f.dtype) + 0.01 * jnp.sin(
+            iota[:, None].astype(f.dtype) * jnp.arange(1, d + 1, dtype=f.dtype)
+        )
+        def pw(_, v):
+            v = jnp.einsum("nij,nj->ni", cov, v)
+            return v * jax.lax.rsqrt(jnp.sum(v * v, axis=1, keepdims=True) + 1e-20)
+        v = jax.lax.fori_loop(0, power_iters, pw, v)
+        b = jnp.sum(resid * v[comp], axis=1) > 0
+        b = jnp.where(saturated[comp], False, b)
+
+        intra = comp[src] == comp[tgt]
+        w_intra = jnp.where(intra, w, 0.0)
+
+        def alternate(_, b):
+            bf = b.astype(f.dtype)[:, None]
+            hp, cp_ = _seg_mean(f, comp, n, weights=nw * bf[:, 0])
+            hm, cm_ = _seg_mean(f, comp, n, weights=nw * (1.0 - bf[:, 0]))
+            hp = jnp.where((cp_ > 0)[:, None], hp, mean)
+            hm = jnp.where((cm_ > 0)[:, None], hm, mean)
+            delta_u = nw * (
+                jnp.sum((f - hp[comp]) ** 2, axis=1)
+                - jnp.sum((f - hm[comp]) ** 2, axis=1)
+            )
+
+            def icm(s, b):
+                # graph term: for an in-region edge (u,v), labeling u as 1
+                # costs reg*w*(1 - 2 b_v); accumulated from both endpoints
+                field = jax.ops.segment_sum(
+                    reg * w_intra * (1.0 - 2.0 * b[tgt].astype(f.dtype)),
+                    src,
+                    num_segments=n,
+                ) + jax.ops.segment_sum(
+                    reg * w_intra * (1.0 - 2.0 * b[src].astype(f.dtype)),
+                    tgt,
+                    num_segments=n,
+                )
+                want = (delta_u + field) < 0
+                upd = parity == (s % 2 == 0)
+                return jnp.where(upd, want, b)
+
+            b = jax.lax.fori_loop(0, 2 * icm_sweeps, icm, b)
+            return b
+
+        b = jax.lax.fori_loop(0, flow_steps, alternate, b)
+        b = jnp.where(saturated[comp], False, b)
+        return b
+
+    def body(state):
+        comp, saturated, energy, it, _ = state
+        _, mean = _energy(f, nw, comp, src, tgt, w, reg, n)
+        b = split_once(comp, saturated, mean)
+        same = (comp[src] == comp[tgt]) & (b[src] == b[tgt])
+        new_comp = connected_components_jax(
+            src, tgt, same, n, n_iter=cc_iters
+        )
+        new_energy, _ = _energy(f, nw, new_comp, src, tgt, w, reg, n)
+        improved = new_energy < energy - 1e-6 * jnp.maximum(jnp.abs(energy), 1.0)
+        # saturation: old region unsplit (its new label is constant) -> freeze
+        hi = jax.ops.segment_max(new_comp, comp, num_segments=n)
+        lo = jax.ops.segment_min(new_comp, comp, num_segments=n)
+        unsplit_old = hi == lo  # indexed by old root
+        new_sat = unsplit_old[comp]  # broadcast to vertices -> per-vertex flag
+        # store saturation on new roots: a new region is saturated iff its old
+        # region did not split at all
+        sat_flag = jax.ops.segment_max(
+            new_sat.astype(jnp.int32), new_comp, num_segments=n
+        ).astype(bool)
+        comp_out = jnp.where(improved, new_comp, comp)
+        sat_out = jnp.where(improved, sat_flag, saturated)
+        e_out = jnp.where(improved, new_energy, energy)
+        return comp_out, sat_out, e_out, it + 1, improved
+
+    def cond(state):
+        comp, saturated, energy, it, improved = state
+        return (it < max_iter) & improved
+
+    comp0 = jnp.zeros(n, jnp.int32)
+    energy0, _ = _energy(f, nw, comp0, src, tgt, w, reg, n)
+    state = (comp0, jnp.zeros(n, bool), energy0, jnp.int32(0), jnp.bool_(True))
+    comp, saturated, energy, it, _ = jax.lax.while_loop(cond, body, state)
+    return comp, energy
+
+
+def cutpursuit_tpu(
+    features: np.ndarray,
+    source: np.ndarray,
+    target: np.ndarray,
+    edge_weight: np.ndarray,
+    reg_strength: float,
+    cutoff: int = 0,
+    spatial: bool = False,
+    weight_decay: float = 0.7,
+    node_weight: np.ndarray | None = None,
+    **solver_kw,
+):
+    """libcp.cutpursuit-compatible wrapper running the split loop on device.
+
+    Returns (components, in_component) like the host oracle (cutpursuit.py).
+    """
+    del spatial, weight_decay
+    f = np.ascontiguousarray(features, dtype=np.float32)
+    if f.ndim == 1:
+        f = f[:, None]
+    n = f.shape[0]
+    src = jnp.asarray(source, jnp.int32)
+    tgt = jnp.asarray(target, jnp.int32)
+    w = jnp.asarray(edge_weight, jnp.float32)
+    nw = (
+        jnp.ones(n, jnp.float32)
+        if node_weight is None
+        else jnp.asarray(node_weight, jnp.float32)
+    )
+    comp, _ = _solve(jnp.asarray(f), src, tgt, w, nw, jnp.float32(reg_strength), **solver_kw)
+    comp = np.asarray(comp)
+
+    # densify root labels to 0..n_comp-1 in first-occurrence order
+    _, first_pos, inv = np.unique(comp, return_index=True, return_inverse=True)
+    order = np.argsort(np.argsort(first_pos))
+    in_comp = order[inv]
+
+    if cutoff > 0:
+        src_h = np.asarray(source, np.int64)
+        tgt_h = np.asarray(target, np.int64)
+        active = in_comp[src_h] == in_comp[tgt_h]
+        _, in_comp = connected_components(n, src_h, tgt_h, active, cutoff)
+
+    n_comp = in_comp.max() + 1
+    components = [
+        np.flatnonzero(in_comp == c).astype(np.uint32) for c in range(n_comp)
+    ]
+    return components, in_comp.astype(np.int32)

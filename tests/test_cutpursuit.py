@@ -1,0 +1,133 @@
+"""Tests for the host-exact l0 cut-pursuit solver (parity oracle for libcp)."""
+import numpy as np
+import pytest
+
+from superpoint_graph_tpu.ops import cutpursuit as cp
+from superpoint_graph_tpu.ops.components import connected_components
+
+
+def grid_graph(h, w):
+    """4-neighborhood grid, each undirected edge listed once."""
+    idx = np.arange(h * w).reshape(h, w)
+    src = np.concatenate([idx[:, :-1].ravel(), idx[:-1, :].ravel()])
+    tgt = np.concatenate([idx[:, 1:].ravel(), idx[1:, :].ravel()])
+    return src.astype(np.int64), tgt.astype(np.int64)
+
+
+def partition_energy(f, in_comp, src, tgt, w, reg):
+    e, _ = cp._energy(
+        f.astype(np.float64), np.ones(len(f)), in_comp.astype(np.int64), src, tgt, w, reg
+    )
+    return e
+
+
+class TestCutPursuit:
+    def test_two_clusters_recovered(self, rng):
+        h, w = 8, 12
+        src, tgt = grid_graph(h, w)
+        ew = np.ones(len(src))
+        f = np.zeros((h * w, 2), np.float32)
+        gt = (np.arange(h * w).reshape(h, w) % w >= w // 2).ravel()
+        f[gt] = [1.0, 0.5]
+        f += rng.randn(h * w, 2).astype(np.float32) * 0.02
+        comps, in_comp = cp.cutpursuit(f, src, tgt, ew, reg_strength=0.1)
+        assert len(comps) == 2
+        # components must coincide with ground truth
+        side = in_comp == in_comp[np.flatnonzero(gt)[0]]
+        assert np.array_equal(side, gt)
+
+    def test_huge_reg_single_component(self, rng):
+        src, tgt = grid_graph(6, 6)
+        f = rng.randn(36, 3).astype(np.float32)
+        comps, in_comp = cp.cutpursuit(f, src, tgt, np.ones(len(src)), 1e6)
+        assert len(comps) == 1
+
+    def test_zero_reg_splits_everything_distinct(self, rng):
+        src, tgt = grid_graph(4, 4)
+        f = (np.arange(16, dtype=np.float32)[:, None]) * 10
+        comps, in_comp = cp.cutpursuit(f, src, tgt, np.ones(len(src)), 1e-6)
+        assert len(comps) == 16
+
+    def test_energy_beats_trivial_partitions(self, rng):
+        h, w = 6, 10
+        src, tgt = grid_graph(h, w)
+        ew = np.ones(len(src))
+        f = rng.rand(h * w, 3).astype(np.float32)
+        f[: h * w // 2] += 2.0
+        reg = 0.3
+        _, in_comp = cp.cutpursuit(f, src, tgt, ew, reg)
+        e = partition_energy(f, in_comp, src, tgt, ew, reg)
+        e_single = partition_energy(f, np.zeros(h * w, np.int64), src, tgt, ew, reg)
+        e_all = partition_energy(f, np.arange(h * w), src, tgt, ew, reg)
+        assert e <= e_single + 1e-9
+        assert e <= e_all + 1e-9
+
+    def test_cutoff_fuses_small_regions(self, rng):
+        src, tgt = grid_graph(6, 6)
+        f = rng.randn(36, 2).astype(np.float32) * 0.01
+        f[0] += 100.0  # one outlier vertex would become its own region
+        _, in_comp_nocut = cp.cutpursuit(f, src, tgt, np.ones(len(src)), 0.05)
+        sizes = np.bincount(in_comp_nocut)
+        assert sizes.min() == 1
+        _, in_comp = cp.cutpursuit(f, src, tgt, np.ones(len(src)), 0.05, cutoff=3)
+        assert np.bincount(in_comp).min() >= 3
+
+    def test_cutpursuit2_inpainting(self, rng):
+        # scalar labels with unlabeled nodes (weight 0) get filled from region
+        src, tgt = grid_graph(5, 8)
+        n = 40
+        vals = np.zeros(n, np.float32)
+        gt = (np.arange(n).reshape(5, 8) % 8 >= 4).ravel()
+        vals[gt] = 1.0
+        nw = (rng.rand(n) > 0.4).astype(np.float64)  # ~60% labeled
+        vals_obs = vals * (nw > 0)
+        vr, in_comp = cp.cutpursuit2(vals_obs, src, tgt, np.ones(len(src)), nw, 0.2)
+        assert vr.shape == (n,)
+        # regions respect the labeled structure: labeled nodes keep their value
+        lab = nw > 0
+        assert np.abs(vr[lab] - vals[lab]).mean() < 0.3
+
+
+class TestConnectedComponents:
+    def test_simple(self):
+        src = np.array([0, 1, 3])
+        tgt = np.array([1, 2, 4])
+        comps, in_comp = connected_components(5, src, tgt, np.array([1, 1, 1]), 0)
+        assert len(comps) == 2
+        assert in_comp.tolist() == [0, 0, 0, 1, 1]
+
+    def test_active_mask(self):
+        src = np.array([0, 1])
+        tgt = np.array([1, 2])
+        comps, in_comp = connected_components(3, src, tgt, np.array([1, 0]), 0)
+        assert len(comps) == 2
+        assert in_comp.tolist() == [0, 0, 1]
+
+    def test_cutoff_fuse(self):
+        # 0-1 big comp, 2 singleton adjacent via inactive edge
+        src = np.array([0, 1])
+        tgt = np.array([1, 2])
+        comps, in_comp = connected_components(3, src, tgt, np.array([1, 0]), 2)
+        assert len(comps) == 1
+
+    def test_jax_matches_host(self, rng):
+        import jax.numpy as jnp
+        from superpoint_graph_tpu.ops.components import connected_components_jax
+
+        n = 200
+        src = rng.randint(0, n, 400)
+        tgt = rng.randint(0, n, 400)
+        active = rng.rand(400) > 0.6
+        _, host = connected_components(n, src, tgt, active, 0)
+        roots = np.asarray(
+            connected_components_jax(
+                jnp.asarray(src, jnp.int32),
+                jnp.asarray(tgt, jnp.int32),
+                jnp.asarray(active),
+                n,
+            )
+        )
+        # same partition: roots must be constant exactly on host components
+        for c in range(host.max() + 1):
+            assert len(np.unique(roots[host == c])) == 1
+        assert len(np.unique(roots)) == host.max() + 1

@@ -1,0 +1,56 @@
+"""The TPU cut-pursuit must statistically match the host-exact oracle."""
+import numpy as np
+
+from superpoint_graph_tpu.ops import cutpursuit as cp_host
+from superpoint_graph_tpu.ops import cutpursuit_jax as cp_tpu
+from tests.test_cutpursuit import grid_graph, partition_energy
+
+
+class TestCutPursuitTPU:
+    def test_two_clusters_recovered(self, rng):
+        h, w = 8, 12
+        src, tgt = grid_graph(h, w)
+        ew = np.ones(len(src))
+        f = np.zeros((h * w, 2), np.float32)
+        gt = (np.arange(h * w).reshape(h, w) % w >= w // 2).ravel()
+        f[gt] = [1.0, 0.5]
+        f += rng.randn(h * w, 2).astype(np.float32) * 0.02
+        comps, in_comp = cp_tpu.cutpursuit_tpu(f, src, tgt, ew, reg_strength=0.1)
+        assert len(comps) == 2
+        side = in_comp == in_comp[np.flatnonzero(gt)[0]]
+        assert np.array_equal(side, gt)
+
+    def test_huge_reg_single_component(self, rng):
+        src, tgt = grid_graph(6, 6)
+        f = rng.randn(36, 3).astype(np.float32)
+        comps, _ = cp_tpu.cutpursuit_tpu(f, src, tgt, np.ones(len(src)), 1e6)
+        assert len(comps) == 1
+
+    def test_energy_close_to_exact(self, rng):
+        """Parallel-ICM splits must land within 10% of the max-flow oracle's
+        energy on random piecewise fields (statistical validation per
+        SURVEY.md 7.2 milestone B)."""
+        h, w = 10, 10
+        src, tgt = grid_graph(h, w)
+        ew = np.ones(len(src))
+        ratios = []
+        for trial in range(5):
+            r = np.random.RandomState(trial)
+            f = r.rand(h * w, 4).astype(np.float32)
+            # plant 3 vertical bands
+            band = ((np.arange(h * w).reshape(h, w) % w) // (w // 3 + 1)).ravel()
+            f += np.stack([band == i for i in range(4)], 1).astype(np.float32) * 1.5
+            reg = 0.3
+            _, ic_host = cp_host.cutpursuit(f, src, tgt, ew, reg)
+            _, ic_tpu = cp_tpu.cutpursuit_tpu(f, src, tgt, ew, reg)
+            e_host = partition_energy(f, ic_host, src, tgt, ew, reg)
+            e_tpu = partition_energy(f, ic_tpu, src, tgt, ew, reg)
+            ratios.append(e_tpu / max(e_host, 1e-9))
+        assert np.mean(ratios) < 1.10, ratios
+
+    def test_cutoff(self, rng):
+        src, tgt = grid_graph(6, 6)
+        f = rng.randn(36, 2).astype(np.float32) * 0.01
+        f[0] += 100.0
+        _, in_comp = cp_tpu.cutpursuit_tpu(f, src, tgt, np.ones(len(src)), 0.05, cutoff=3)
+        assert np.bincount(in_comp).min() >= 3
