@@ -1,0 +1,176 @@
+"""Model tests: ecc_conv oracle + padding invariance, PointNet masking,
+GRUCellEx formula check, full SpgModel forward."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from superpoint_graph_tpu.data.synthetic import random_spg_batch
+from superpoint_graph_tpu.models import (
+    GRUCellEx,
+    PointNet,
+    SpgModel,
+    ecc_conv,
+)
+
+
+class TestEccConv:
+    def _oracle(self, h, w, src, tgt, mask, n):
+        out = np.zeros((n, w.shape[-1] if w.ndim == 3 else h.shape[1]))
+        cnt = np.zeros(n)
+        for e in range(len(src)):
+            if not mask[e]:
+                continue
+            m = h[src[e]] @ w[e] if w.ndim == 3 else h[src[e]] * w[e]
+            out[tgt[e]] += m
+            cnt[tgt[e]] += 1
+        return out / np.maximum(cnt, 1)[:, None]
+
+    def test_vector_mode(self, rng):
+        n, e, c = 10, 30, 8
+        h = rng.randn(n, c).astype(np.float32)
+        w = rng.randn(e, c).astype(np.float32)
+        src = rng.randint(0, n, e)
+        tgt = rng.randint(0, n, e)
+        mask = rng.rand(e) > 0.3
+        got = np.asarray(
+            ecc_conv(jnp.asarray(h), jnp.asarray(w), jnp.asarray(src),
+                     jnp.asarray(tgt), jnp.asarray(mask), n)
+        )
+        np.testing.assert_allclose(got, self._oracle(h, w, src, tgt, mask, n), rtol=1e-4, atol=1e-5)
+
+    def test_matrix_mode(self, rng):
+        n, e, c = 7, 20, 6
+        h = rng.randn(n, c).astype(np.float32)
+        w = rng.randn(e, c, c).astype(np.float32)
+        src = rng.randint(0, n, e)
+        tgt = rng.randint(0, n, e)
+        mask = np.ones(e, bool)
+        got = np.asarray(
+            ecc_conv(jnp.asarray(h), jnp.asarray(w), jnp.asarray(src),
+                     jnp.asarray(tgt), jnp.asarray(mask), n)
+        )
+        np.testing.assert_allclose(got, self._oracle(h, w, src, tgt, mask, n), rtol=1e-3, atol=1e-4)
+
+    def test_isolated_node_zero(self, rng):
+        h = rng.randn(4, 3).astype(np.float32)
+        w = rng.randn(2, 3).astype(np.float32)
+        got = np.asarray(
+            ecc_conv(jnp.asarray(h), jnp.asarray(w), jnp.asarray([0, 1]),
+                     jnp.asarray([1, 0]), jnp.asarray([True, True]), 4)
+        )
+        np.testing.assert_allclose(got[2:], 0.0)
+
+    def test_padding_invariance(self, rng):
+        """Extra masked edges must not change outputs — the moral equivalent of
+        the reference's edge_mem_limit shard-consistency test."""
+        n, e, c = 12, 40, 8
+        h = rng.randn(n, c).astype(np.float32)
+        w = rng.randn(e, c).astype(np.float32)
+        src = rng.randint(0, n, e).astype(np.int32)
+        tgt = rng.randint(0, n, e).astype(np.int32)
+        base = ecc_conv(jnp.asarray(h), jnp.asarray(w), jnp.asarray(src),
+                        jnp.asarray(tgt), jnp.ones(e, bool), n)
+        pad = 25
+        w2 = np.concatenate([w, rng.randn(pad, c).astype(np.float32)])
+        src2 = np.concatenate([src, rng.randint(0, n, pad).astype(np.int32)])
+        tgt2 = np.concatenate([tgt, rng.randint(0, n, pad).astype(np.int32)])
+        mask2 = np.concatenate([np.ones(e, bool), np.zeros(pad, bool)])
+        padded = ecc_conv(jnp.asarray(h), jnp.asarray(w2), jnp.asarray(src2),
+                          jnp.asarray(tgt2), jnp.asarray(mask2), n)
+        np.testing.assert_allclose(np.asarray(base), np.asarray(padded), rtol=1e-6)
+
+
+class TestGRUCellEx:
+    def test_matches_reference_formulas(self, rng):
+        hs = 16
+        cell = GRUCellEx(hs, layernorm=True, ingate=True)
+        x = jnp.asarray(rng.randn(5, hs).astype(np.float32))
+        h = jnp.asarray(rng.randn(5, hs).astype(np.float32))
+        params = cell.init(jax.random.PRNGKey(0), x, h)
+        y = cell.apply(params, x, h)
+
+        p = jax.tree.map(np.asarray, params["params"])
+        xin = np.asarray(x) * (1 / (1 + np.exp(-(np.asarray(h) @ p["ig"]["kernel"] + p["ig"]["bias"]))))
+        gi = xin @ p["ih"]["kernel"]
+        gh = np.asarray(h) @ p["hh"]["kernel"]
+
+        def inorm(a):
+            return (a - a.mean(-1, keepdims=True)) / np.sqrt(a.var(-1, keepdims=True) + 1e-5)
+
+        gi, gh = inorm(gi), inorm(gh)
+        bih, bhh = p["bias_ih"], p["bias_hh"]
+        i_r, i_z, i_n = np.split(gi, 3, 1)
+        h_r, h_z, h_n = np.split(gh, 3, 1)
+        b_ir, b_iz, b_in = np.split(bih, 3)
+        b_hr, b_hz, b_hn = np.split(bhh, 3)
+        sig = lambda v: 1 / (1 + np.exp(-v))
+        r = sig(i_r + b_ir + h_r + b_hr)
+        z = sig(i_z + b_iz + h_z + b_hz)
+        ng = np.tanh(i_n + b_in + r * (h_n + b_hn))
+        want = ng + z * (np.asarray(h) - ng)
+        np.testing.assert_allclose(np.asarray(y), want, rtol=1e-3, atol=2e-3)
+
+
+class TestPointNet:
+    def _ptn(self):
+        return PointNet(
+            nf_conv=(32, 64), nf_fc=(64, 16), nf_conv_stn=(16, 32),
+            nf_fc_stn=(32, 16), nfeat=11, nfeat_stn=11, prelast_do=0.0,
+        )
+
+    def test_shapes_and_masking(self, rng):
+        ptn = self._ptn()
+        clouds = jnp.asarray(rng.randn(10, 32, 11).astype(np.float32))
+        glob = jnp.asarray(rng.rand(10, 1).astype(np.float32))
+        mask = jnp.asarray(np.array([True] * 7 + [False] * 3))
+        params = ptn.init(jax.random.PRNGKey(0), clouds, glob, mask, train=False)
+        out = ptn.apply(params, clouds, glob, mask, train=False)
+        assert out.shape == (10, 16)
+        np.testing.assert_allclose(np.asarray(out)[7:], 0.0)
+
+    def test_batchnorm_mask_invariance(self, rng):
+        """Changing *masked* rows must not change valid outputs in train mode."""
+        ptn = self._ptn()
+        clouds = rng.randn(8, 16, 11).astype(np.float32)
+        glob = rng.rand(8, 1).astype(np.float32)
+        mask = np.array([True] * 5 + [False] * 3)
+        c1 = jnp.asarray(clouds)
+        c2 = clouds.copy()
+        c2[5:] = 999.0
+        c2 = jnp.asarray(c2)
+        params = ptn.init(jax.random.PRNGKey(0), c1, jnp.asarray(glob), jnp.asarray(mask))
+        o1, _ = ptn.apply(params, c1, jnp.asarray(glob), jnp.asarray(mask),
+                          train=True, mutable=["batch_stats"])
+        o2, _ = ptn.apply(params, c2, jnp.asarray(glob), jnp.asarray(mask),
+                          train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(o1)[:5], np.asarray(o2)[:5], rtol=1e-5, atol=1e-5)
+
+
+class TestSpgModel:
+    def test_forward(self, rng):
+        batch = random_spg_batch(rng)
+        model = SpgModel(
+            n_classes=6,
+            model_config="gru_3_0,f_6",
+            ptn_widths=((32, 64), (64, 32)),
+            ptn_widths_stn=((16, 32), (32, 16)),
+            fnet_widths=(13, 16, 32),
+        )
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        logits = model.apply(variables, batch, train=False)
+        assert logits.shape == (40, 6)
+        assert np.all(np.isfinite(np.asarray(logits)))
+
+    def test_cat_all_dims(self, rng):
+        batch = random_spg_batch(rng)
+        # gru_2 with cat_all (default) -> classifier sees 32*(2+1)
+        model = SpgModel(
+            n_classes=6,
+            model_config="gru_2,f_6",
+            ptn_widths=((32, 64), (64, 32)),
+            ptn_widths_stn=((16, 32), (32, 16)),
+            fnet_widths=(13, 16, 32),
+        )
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        logits = model.apply(variables, batch, train=False)
+        assert logits.shape == (40, 6)
