@@ -1,0 +1,144 @@
+"""End-to-end geometric partition of one point cloud, TPU-first.
+
+Orchestrates the reference partition CLI's per-file pipeline
+(partition/partition.py:113-189): prune -> kNN graphs -> geometric features ->
+edge weights -> l0 cut pursuit -> superpoint graph, with the same three timing
+buckets (features / partition / SPG). All array-heavy stages run as jitted XLA
+programs; cut pursuit selects between the device solver (default) and the
+host-exact oracle (`cp_backend='exact'`).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .graph.spg import compute_sp_graph
+from .ops import geof as geof_ops
+from .ops import voxel
+from .ops.cutpursuit import cutpursuit as cutpursuit_exact
+from .ops.cutpursuit_jax import cutpursuit_tpu
+from .ops.knn import compute_graph_nn_2
+
+
+@dataclasses.dataclass
+class PartitionConfig:
+    """Mirrors the reference partition CLI flags (partition.py:20-31)."""
+
+    k_nn_geof: int = 45
+    k_nn_adj: int = 10
+    lambda_edge_weight: float = 1.0
+    reg_strength: float = 0.03
+    d_se_max: float = 0.0
+    voxel_width: float = 0.03
+    dataset: str = "s3dis"  # controls partition feature assembly
+    cp_backend: str = "tpu"  # 'tpu' | 'exact'
+    cp_cutoff: int = 0
+    spg_adjacency: str = "delaunay"  # 'delaunay' | 'knn'
+
+
+@dataclasses.dataclass
+class PartitionResult:
+    xyz: np.ndarray
+    rgb: np.ndarray
+    labels: np.ndarray  # per-voxel label histogram (or raw labels)
+    geof: np.ndarray
+    graph_nn: dict
+    components: list
+    in_component: np.ndarray
+    graph_sp: dict
+    times: dict  # features / partition / spg seconds
+
+
+def partition_features(xyz: np.ndarray, cfg: PartitionConfig):
+    """kNN graphs + geometric features (the 'features' timing bucket)."""
+    graph_nn, target_geof = compute_graph_nn_2(xyz, cfg.k_nn_adj, cfg.k_nn_geof)
+    geof = np.asarray(
+        geof_ops.compute_geof(
+            jnp.asarray(xyz, jnp.float32), jnp.asarray(target_geof.astype(np.int32))
+        )
+    )
+    return graph_nn, geof
+
+
+def assemble_partition_features(geof: np.ndarray, rgb, cfg: PartitionConfig):
+    """Dataset-dependent feature vector for cut pursuit
+    (partition.py:164-173: s3dis appends rgb/255; verticality doubled)."""
+    g = geof.copy()
+    g[:, 3] *= 2.0
+    if cfg.dataset == "s3dis" and rgb is not None and len(rgb) > 0:
+        return np.hstack([g, np.asarray(rgb, np.float32) / 255.0]).astype(np.float32)
+    return g.astype(np.float32)
+
+
+def edge_weights(distances: np.ndarray, lambda_edge_weight: float) -> np.ndarray:
+    """w = 1 / (lambda + d / mean(d))  (partition.py:175)."""
+    return np.asarray(
+        1.0 / (lambda_edge_weight + distances / distances.mean()), dtype=np.float32
+    )
+
+
+def partition_cloud(
+    xyz: np.ndarray,
+    rgb: Optional[np.ndarray] = None,
+    labels: Optional[np.ndarray] = None,
+    objects: Optional[np.ndarray] = None,
+    n_labels: int = 0,
+    cfg: PartitionConfig = PartitionConfig(),
+) -> PartitionResult:
+    times = {}
+    t0 = time.perf_counter()
+    if cfg.voxel_width > 0:
+        n_obj = int(objects.max()) + 1 if objects is not None and np.size(objects) else 0
+        xyz, rgb, labels, _ = voxel.prune(
+            xyz,
+            cfg.voxel_width,
+            rgb if rgb is not None else np.zeros((len(xyz), 3), np.uint8),
+            labels,
+            objects,
+            n_labels,
+            n_obj,
+        )
+    graph_nn, geof = partition_features(np.asarray(xyz, np.float32), cfg)
+    times["features"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    features = assemble_partition_features(geof, rgb, cfg)
+    w = edge_weights(graph_nn["distances"], cfg.lambda_edge_weight)
+    solver = cutpursuit_exact if cfg.cp_backend == "exact" else cutpursuit_tpu
+    components, in_component = solver(
+        features,
+        graph_nn["source"],
+        graph_nn["target"],
+        w,
+        cfg.reg_strength,
+        cutoff=cfg.cp_cutoff,
+    )
+    times["partition"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    graph_sp = compute_sp_graph(
+        xyz,
+        cfg.d_se_max,
+        in_component,
+        components,
+        labels,
+        n_labels,
+        adjacency=cfg.spg_adjacency,
+    )
+    times["spg"] = time.perf_counter() - t0
+
+    return PartitionResult(
+        xyz=np.asarray(xyz),
+        rgb=np.asarray(rgb) if rgb is not None else np.zeros((len(xyz), 3), np.uint8),
+        labels=np.asarray(labels) if labels is not None else np.zeros(0),
+        geof=geof,
+        graph_nn=graph_nn,
+        components=components,
+        in_component=in_component,
+        graph_sp=graph_sp,
+        times=times,
+    )
