@@ -23,22 +23,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _unionfind_roots(n_ver: int, src: np.ndarray, tgt: np.ndarray) -> np.ndarray:
-    parent = np.arange(n_ver, dtype=np.int64)
+def _cc_labels(n_ver: int, src: np.ndarray, tgt: np.ndarray) -> np.ndarray:
+    """Component labels via scipy's C connected-components."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components as scipy_cc
 
-    def find(i):
-        root = i
-        while parent[root] != root:
-            root = parent[root]
-        while parent[i] != root:
-            parent[i], i = root, parent[i]
-        return root
+    if len(src) == 0:
+        return np.arange(n_ver, dtype=np.int64)
+    adj = sp.csr_matrix(
+        (np.ones(len(src), np.int8), (src, tgt)), shape=(n_ver, n_ver)
+    )
+    _, labels = scipy_cc(adj, directed=False)
+    return labels.astype(np.int64)
 
-    for s, t in zip(src, tgt):
-        rs, rt = find(s), find(t)
-        if rs != rt:
-            parent[max(rs, rt)] = min(rs, rt)
-    return np.array([find(i) for i in range(n_ver)])
+
+def group_components(in_comp: np.ndarray, n_comp: int | None = None):
+    """Split vertex ids by component label: list of uint32 arrays, one per
+    dense label, via a single stable argsort (no per-component scans)."""
+    in_comp = np.asarray(in_comp)
+    if n_comp is None:
+        n_comp = int(in_comp.max()) + 1 if in_comp.size else 0
+    order = np.argsort(in_comp, kind="stable").astype(np.uint32)
+    counts = np.bincount(in_comp, minlength=n_comp)
+    return np.split(order, np.cumsum(counts)[:-1])
 
 
 def connected_components(
@@ -59,7 +66,7 @@ def connected_components(
     target = np.asarray(target, dtype=np.int64)
     active = np.asarray(active_edge).astype(bool)
 
-    roots = _unionfind_roots(n_ver, source[active], target[active])
+    roots = _cc_labels(n_ver, source[active], target[active])
     # dense ids in first-occurrence order
     _, first_pos, in_comp = np.unique(roots, return_index=True, return_inverse=True)
     order = np.argsort(np.argsort(first_pos))
@@ -74,41 +81,52 @@ def connected_components(
         in_comp = order[in_comp]
         n_comp = in_comp.max() + 1
 
-    components = [np.flatnonzero(in_comp == c).astype(np.uint32) for c in range(n_comp)]
+    components = group_components(in_comp, n_comp)
     return components, in_comp.astype(np.int32)
 
 
 def _fuse_small(in_comp, source, target, inactive_mask, cutoff):
     """Absorb components of size < cutoff into their largest neighbor seen
-    through inactive edges (connected_components.cpp:41-110). Iterates until no
-    undersized component has any neighbor (isolated small ones stay)."""
+    through inactive edges (connected_components.cpp:41-110), fully
+    vectorized: each round every undersized component picks its largest
+    neighbor at once (cycles broken by preferring the larger / lower-id
+    target), then labels are remapped. The reference absorbs sequentially with
+    running size updates — statistically equivalent, and rounds converge the
+    same fixed point class."""
     in_comp = in_comp.copy()
     src_i = source[inactive_mask]
     tgt_i = target[inactive_mask]
-    for _ in range(64):  # generous bound; each pass strictly shrinks small set
+    for _ in range(64):
         sizes = np.bincount(in_comp)
-        small = np.flatnonzero(sizes < cutoff)
-        if small.size == 0:
+        n_comp = len(sizes)
+        small = sizes < cutoff
+        if not small.any():
             break
-        cs, ct = in_comp[src_i], in_comp[tgt_i]
-        cross = cs != ct
-        changed = False
-        small_set = set(small.tolist())
-        for c in small:
-            # neighbors of c through inactive cross edges
-            nb = np.concatenate([ct[cross & (cs == c)], cs[cross & (ct == c)]])
-            nb = nb[nb != c]
-            if nb.size == 0:
-                continue
-            nb_sizes = sizes[nb]
-            tgt_c = nb[np.argmax(nb_sizes)]
-            # prefer a large host; absorbing small-into-small still converges
-            in_comp[in_comp == c] = tgt_c
-            sizes[tgt_c] += sizes[c]
-            sizes[c] = 0
-            changed = True
-        if not changed:
+        a = np.concatenate([in_comp[src_i], in_comp[tgt_i]])
+        b = np.concatenate([in_comp[tgt_i], in_comp[src_i]])
+        sel = (a != b) & small[a]
+        a, b = a[sel], b[sel]
+        if len(a) == 0:
             break
+        # best neighbor per small comp = max by (size, -id): encode into int64
+        enc = sizes[b].astype(np.int64) * (n_comp + 1) + (n_comp - b)
+        best = np.full(n_comp, -1, np.int64)
+        np.maximum.at(best, a, enc)
+        has = best >= 0
+        tgt_comp = n_comp - (best % (n_comp + 1))
+        mapping = np.arange(n_comp)
+        move = has & small
+        # break small<->small cycles: absorb only into a strictly larger comp,
+        # or an equal-size comp with smaller id
+        ok = (sizes[tgt_comp] > sizes[np.arange(n_comp)]) | (
+            (sizes[tgt_comp] == sizes[np.arange(n_comp)])
+            & (tgt_comp < np.arange(n_comp))
+        )
+        move &= ok
+        if not move.any():
+            break
+        mapping[move] = tgt_comp[move]
+        in_comp = mapping[in_comp]
     return in_comp
 
 

@@ -134,17 +134,13 @@ def cutpursuit(
         if not active_v.any():
             break
         # init split direction: principal component of residuals per region
+        # (batched: one scatter-add covariance + one batched eigh)
         resid = f - mean[in_comp]
-        dirs = np.zeros((n_comp, d))
-        for c in range(n_comp):
-            if saturated[c]:
-                continue
-            rc = resid[in_comp == c]
-            if rc.shape[0] < 2:
-                continue
-            cov = rc.T @ rc
-            ev, evec = np.linalg.eigh(cov)
-            dirs[c] = evec[:, -1]
+        cov = np.zeros((n_comp, d, d))
+        np.add.at(cov, in_comp, resid[:, :, None] * resid[:, None, :])
+        _, evec = np.linalg.eigh(cov)
+        dirs = evec[..., -1]
+        dirs[saturated] = 0.0
         b = np.einsum("nd,nd->n", resid, dirs[in_comp]) > 0
 
         hp = np.zeros((n_comp, d))
@@ -182,12 +178,11 @@ def cutpursuit(
             # did not split (all its vertices kept one side)
             n_new = new_in_comp.max() + 1
             sat_new = np.zeros(n_new, dtype=bool)
-            # map: old region -> set of new regions; unsplit if 1-to-1
+            # map: old region -> set of new regions; unsplit (1 kid) => saturate
             pair = np.unique(np.stack([in_comp, new_in_comp]), axis=1)
             old_counts = np.bincount(pair[0], minlength=n_comp)
-            for old_c in np.flatnonzero(old_counts == 1):
-                kids = pair[1, pair[0] == old_c]
-                sat_new[kids] = True
+            only_kids = pair[1, old_counts[pair[0]] == 1]
+            sat_new[only_kids] = True
             in_comp, mean, energy, saturated = new_in_comp, new_mean, new_energy, sat_new
         else:
             break
@@ -199,10 +194,9 @@ def cutpursuit(
         _, in_comp32 = connected_components(n, src, tgt, active, cutoff)
         in_comp = in_comp32.astype(np.int64)
 
-    n_comp = in_comp.max() + 1
-    components = [
-        np.flatnonzero(in_comp == c).astype(np.uint32) for c in range(n_comp)
-    ]
+    from .components import group_components
+
+    components = group_components(in_comp)
     return components, in_comp.astype(np.int32)
 
 

@@ -205,8 +205,7 @@ def cutpursuit_tpu(
         active = in_comp[src_h] == in_comp[tgt_h]
         _, in_comp = connected_components(n, src_h, tgt_h, active, cutoff)
 
-    n_comp = in_comp.max() + 1
-    components = [
-        np.flatnonzero(in_comp == c).astype(np.uint32) for c in range(n_comp)
-    ]
+    from .components import group_components
+
+    components = group_components(in_comp)
     return components, in_comp.astype(np.int32)
