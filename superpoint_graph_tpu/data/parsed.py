@@ -102,6 +102,62 @@ def read_class_count(path: str) -> np.ndarray:
         return f["class_count"][:]
 
 
+def preprocess_pointclouds(
+    root: str,
+    dataset: str = "s3dis",
+    n_classes: int = 13,
+    supervized: bool = False,
+    plane_elevation: bool = False,
+):
+    """Walk <root>/superpoint_graphs/*, build parsed/ caches + class_count.h5
+    (reference s3dis_dataset.py:93-162 and the sema3d/vkitti variants)."""
+    import h5py
+
+    spg_root = os.path.join(root, "superpoint_graphs")
+    feat_dirname = "features_supervision" if supervized else "features"
+    folders = sorted(
+        d for d in os.listdir(spg_root)
+        if os.path.isdir(os.path.join(spg_root, d))
+    )
+    n_folds = max(len(folders), 1)
+    class_count = np.zeros((n_classes, n_folds), dtype="int64")
+    for fi, folder in enumerate(folders):
+        out_dir = os.path.join(root, "parsed", folder)
+        os.makedirs(out_dir, exist_ok=True)
+        for fname in sorted(os.listdir(os.path.join(spg_root, folder))):
+            if not fname.endswith(".h5"):
+                continue
+            feat_path = os.path.join(root, feat_dirname, folder, fname)
+            with h5py.File(feat_path, "r") as f:
+                xyz = f["xyz"][:]
+                rgb = f["rgb"][:].astype(np.float64)
+                labels = f["labels"][:]
+                if supervized:
+                    geof = f["geof"][:]
+                    elevation = f["elevation"][:]
+                else:
+                    geof = f["geof"][:]
+                    elevation = None
+            if labels.ndim > 1 and labels.shape[1] > 1:
+                hard = np.argmax(labels[:, 1:], 1)
+            else:
+                hard = np.maximum(labels.astype(np.int64) - 1, 0)
+            class_count[:, fi] += np.bincount(hard, minlength=n_classes)[:n_classes]
+
+            P = build_point_matrix(
+                xyz, rgb, geof, style=dataset,
+                plane_elevation=plane_elevation, elevation=elevation,
+            )
+            with h5py.File(os.path.join(spg_root, folder, fname), "r") as f:
+                numc = len(f["components"].keys())
+                comps = [f[f"components/{c}"][:].ravel() for c in range(numc)]
+            write_parsed(os.path.join(out_dir, fname), P, comps)
+    write_class_count(
+        os.path.join(root, "parsed", "class_count.h5"),
+        class_count if n_folds > 1 else class_count[:, 0],
+    )
+
+
 def class_weights(class_count: np.ndarray, mode: str, fold_cols=None) -> np.ndarray:
     """none/proportional/sqrt weighting (s3dis_dataset.py:72-81)."""
     n_classes = class_count.shape[0]
@@ -110,6 +166,7 @@ def class_weights(class_count: np.ndarray, mode: str, fold_cols=None) -> np.ndar
     counts = class_count
     if counts.ndim > 1:
         if fold_cols is not None:
+            fold_cols = [c for c in fold_cols if c < counts.shape[1]]
             counts = counts[:, fold_cols]
         counts = counts.sum(1)
     w = counts.mean() / np.maximum(counts, 1)

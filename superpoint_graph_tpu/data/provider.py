@@ -157,21 +157,18 @@ def read_semantic3d_format(
 
 def read_ply(filename: str):
     """xyz/rgb(/label) from a ply file (provider.py:397-410)."""
-    from plyfile import PlyData
+    from ..utils.plyio import read_ply as _read
 
-    ply = PlyData.read(filename)["vertex"]
-    xyz = np.stack([ply[k] for k in ("x", "y", "z")], axis=1).astype(np.float32)
-    try:
-        rgb = np.stack([ply[k] for k in ("red", "green", "blue")], axis=1).astype(
-            np.uint8
-        )
-    except ValueError:
+    props = _read(filename)
+    xyz = np.stack([props[k] for k in ("x", "y", "z")], axis=1).astype(np.float32)
+    if all(k in props for k in ("red", "green", "blue")):
+        rgb = np.stack(
+            [props[k] for k in ("red", "green", "blue")], axis=1
+        ).astype(np.uint8)
+    else:
         rgb = np.zeros((len(xyz), 3), np.uint8)
-    try:
-        labels = np.asarray(ply["label"])
-        return xyz, rgb, labels
-    except ValueError:
-        return xyz, rgb, np.zeros(0)
+    labels = np.asarray(props["label"]) if "label" in props else np.zeros(0)
+    return xyz, rgb, labels
 
 
 def read_las(filename: str):
@@ -236,16 +233,17 @@ def labels_to_colors(labels: np.ndarray, dataset: str) -> np.ndarray:
 
 
 def _write_ply_xyzrgb(filename: str, xyz: np.ndarray, rgb: np.ndarray):
-    from plyfile import PlyData, PlyElement
+    from ..utils.plyio import write_ply
 
-    vertex = np.zeros(
-        len(xyz),
-        dtype=[("x", "f4"), ("y", "f4"), ("z", "f4"),
-               ("red", "u1"), ("green", "u1"), ("blue", "u1")],
+    xyz = np.asarray(xyz, np.float32)
+    rgb = np.asarray(rgb, np.uint8)
+    write_ply(
+        filename,
+        {
+            "x": xyz[:, 0], "y": xyz[:, 1], "z": xyz[:, 2],
+            "red": rgb[:, 0], "green": rgb[:, 1], "blue": rgb[:, 2],
+        },
     )
-    vertex["x"], vertex["y"], vertex["z"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
-    vertex["red"], vertex["green"], vertex["blue"] = rgb[:, 0], rgb[:, 1], rgb[:, 2]
-    PlyData([PlyElement.describe(vertex, "vertex")], text=True).write(filename)
 
 
 def partition2ply(filename, xyz, components):
