@@ -95,10 +95,12 @@ def compute_OOA(components, labels):
 
 def perfect_prediction(components, labels):
     """Majority-label oracle per component, upsampled to points
-    (reference provider.py:689-695)."""
+    (reference provider.py:689-695): `labels` is the (n, n_classes+1)
+    histogram whose column 0 counts unlabeled points; the component label is
+    the argmax over the class columns (0-based class ids)."""
     full_pred = np.zeros(labels.shape[0], dtype=np.int64)
-    hard = labels.argmax(1) if labels.ndim > 1 else labels
     for comp in components:
+        comp = np.asarray(comp, np.int64)
         if len(comp):
-            full_pred[comp] = mode(hard[comp])[0]
+            full_pred[comp] = labels[comp, 1:].sum(0).argmax()
     return full_pred

@@ -138,7 +138,7 @@ def connected_components_jax(
     n_vertices: int | None = None,
     *,
     labels_init: jax.Array | None = None,
-    n_iter: int = 32,
+    n_iter: int = 64,
 ) -> jax.Array:
     """Device-side connected-components labels via min-label propagation with
     pointer jumping. Converges in O(log n) sweeps for typical meshes; `n_iter`
@@ -159,7 +159,7 @@ def connected_components_jax(
     n = labels.shape[0]
     big = jnp.int32(2147483647)
 
-    def body(_, lab):
+    def sweep(lab):
         ls = lab[source]
         lt = lab[target]
         m_st = jnp.where(active, jnp.minimum(ls, lt), big)
@@ -170,9 +170,23 @@ def connected_components_jax(
             num_segments=n,
         )
         lab = jnp.minimum(lab, jnp.where(new == big, lab, new))
-        # pointer jumping: labels are vertex ids, chase twice
+        # pointer jumping: labels are vertex ids, chase three times
+        lab = jnp.minimum(lab, lab[lab])
         lab = jnp.minimum(lab, lab[lab])
         lab = jnp.minimum(lab, lab[lab])
         return lab
 
-    return jax.lax.fori_loop(0, n_iter, body, labels)
+    def cond(state):
+        lab, prev_changed, it = state
+        return prev_changed & (it < n_iter)
+
+    def body(state):
+        lab, _, it = state
+        new = sweep(lab)
+        changed = jnp.any(new != lab)
+        return new, changed, it + 1
+
+    lab, _, _ = jax.lax.while_loop(
+        cond, body, (labels, jnp.bool_(True), jnp.int32(0))
+    )
+    return lab

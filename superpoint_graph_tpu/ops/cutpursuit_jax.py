@@ -65,7 +65,7 @@ def _solve(
     icm_sweeps: int = 4,
     flow_steps: int = 3,
     power_iters: int = 8,
-    cc_iters: int = 32,
+    cc_iters: int = 64,
 ):
     n, d = f.shape
     iota = jnp.arange(n, dtype=jnp.int32)

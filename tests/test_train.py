@@ -129,9 +129,15 @@ class TestMetrics:
         np.testing.assert_allclose(bp, 100 * 2 / 3)
 
     def test_ooa_perfect_prediction(self, rng):
-        labels = np.eye(4)[rng.randint(0, 4, 50)]
+        # histogram convention: column 0 counts unlabeled points
+        hard = rng.randint(0, 4, 50)
+        labels = np.eye(5)[hard + 1]
         comps = [np.arange(0, 25), np.arange(25, 50)]
-        ooa = metrics.compute_OOA(comps, labels)
         pp = metrics.perfect_prediction(comps, labels)
-        acc = 100.0 * (pp == labels.argmax(1)).mean()
+        # per-component majority of the hard labels
+        for comp in comps:
+            maj = np.bincount(hard[comp]).argmax()
+            assert (pp[comp] == maj).all()
+        ooa = metrics.compute_OOA(comps, labels[:, 1:])
+        acc = 100.0 * (pp == hard).mean()
         np.testing.assert_allclose(ooa, acc)
