@@ -45,7 +45,7 @@ def main(argv=None):
         voxel_width=args.voxel_width,
         compute_geof=bool(args.compute_geof),
         plane_model=bool(args.plane_model),
-        use_voronoi=args.use_voronoi > 0,
+        use_voronoi=float(args.use_voronoi),
         dataset=args.dataset,
     )
     for folder in find_folders(root, args.dataset):

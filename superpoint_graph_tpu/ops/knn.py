@@ -140,14 +140,26 @@ def knn(
     return best_i, jnp.maximum(-neg_top, 0.0)
 
 
-def compute_graph_nn_2(xyz: np.ndarray, k_nn_adj: int, k_nn_geof: int):
+def compute_graph_nn(xyz: np.ndarray, k_nn: int):
+    """Single-k kNN graph (reference graphs.py:11-24)."""
+    graph, _ = compute_graph_nn_2(xyz, k_nn, k_nn)
+    return graph
+
+
+def compute_graph_nn_2(
+    xyz: np.ndarray, k_nn_adj: int, k_nn_geof: int, voronoi: float = 0.0
+):
     """Adjacency graph + feature-neighborhood table in one search.
 
-    Mirrors the contract of reference partition/graphs.py:26-73 (minus the
-    Voronoi mode, provided separately in graph/adjacency.py): one kNN query at
-    max(k_adj, k_geof); the first k_adj columns become the partition graph
-    (source/target/distances, edges sorted by source then neighbor rank), the
-    first k_geof columns become the flat geof target list.
+    Mirrors the contract of reference partition/graphs.py:26-73: one kNN query
+    at max(k_adj, k_geof); the first k_adj columns become the partition graph
+    (source/target/distances), the first k_geof columns the flat geof target
+    list. With `voronoi > 0`, Delaunay tetrahedra edges shorter (squared) than
+    `voronoi` are merged with the kNN edges and deduped (graphs.py:42-64);
+    unlike the reference — whose voronoi branch leaves `distances` covering
+    only the Delaunay subset — distances here are recomputed for the full
+    merged edge set (documented divergence; the consistent array is what
+    downstream edge weights need).
 
     Returns a dict graph {source, target, distances} (uint32/float32) and
     target_geof [n, k_nn_geof] uint32.
@@ -171,6 +183,27 @@ def compute_graph_nn_2(xyz: np.ndarray, k_nn_adj: int, k_nn_geof: int):
     source = np.repeat(np.arange(n, dtype=np.uint32), k_nn_adj)
     target = idx[:, :k_nn_adj].reshape(-1).astype(np.uint32)
     distances = dist[:, :k_nn_adj].reshape(-1).astype(np.float32)
+
+    if voronoi > 0:
+        from scipy.spatial import Delaunay
+
+        tets = Delaunay(np.asarray(xyz, np.float64)).simplices
+        pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+        vsrc = np.concatenate([tets[:, a] for a, _ in pairs]).astype(np.int64)
+        vtgt = np.concatenate([tets[:, b] for _, b in pairs]).astype(np.int64)
+        d2 = ((np.asarray(xyz)[vsrc] - np.asarray(xyz)[vtgt]) ** 2).sum(1)
+        keep = d2 < voronoi
+        vsrc, vtgt = vsrc[keep], vtgt[keep]
+        merged_src = np.concatenate([vsrc, source.astype(np.int64)])
+        merged_tgt = np.concatenate([vtgt, target.astype(np.int64)])
+        edge_id = merged_src + np.int64(n) * merged_tgt
+        _, uniq = np.unique(edge_id, return_index=True)
+        source = merged_src[uniq].astype(np.uint32)
+        target = merged_tgt[uniq].astype(np.uint32)
+        distances = np.sqrt(
+            ((np.asarray(xyz)[source] - np.asarray(xyz)[target]) ** 2).sum(1)
+        ).astype(np.float32)
+
     graph = {
         "is_nn": True,
         "source": source,

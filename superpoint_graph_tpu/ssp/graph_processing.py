@@ -36,7 +36,7 @@ class SspPreprocessConfig:
     voxel_width: float = 0.03
     compute_geof: bool = True
     plane_model: bool = True
-    use_voronoi: bool = False
+    use_voronoi: float = 0.0  # >0: Delaunay adjacency with sq-length cutoff
     dataset: str = "s3dis"
 
 
@@ -99,7 +99,7 @@ def build_supervision_structure(
             objects = np.zeros(len(xyz), np.uint32)
     n_ver = len(xyz)
     graph_nn, local_neighbors = compute_graph_nn_2(
-        xyz, cfg.k_nn_adj, cfg.k_nn_local
+        xyz, cfg.k_nn_adj, cfg.k_nn_local, voronoi=float(cfg.use_voronoi)
     )
     is_transition, objects = compute_transitions(
         cfg.dataset, objects, labels, graph_nn, n_ver

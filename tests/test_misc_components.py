@@ -1,0 +1,144 @@
+"""Coverage for the remaining library surface: graph pooling, Voronoi
+adjacency, random subgraph, provider utilities, tracing."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+class TestGraphPool:
+    def _oracle(self, h, child, parent, mask, n_coarse, aggr):
+        out = np.zeros((n_coarse, h.shape[1]))
+        for c in range(n_coarse):
+            rows = [h[child[m]] for m in range(len(child)) if mask[m] and parent[m] == c]
+            if rows:
+                out[c] = (np.mean(rows, 0) if aggr == "mean" else np.max(rows, 0))
+        return out
+
+    @pytest.mark.parametrize("aggr", ["mean", "max"])
+    def test_matches_oracle(self, rng, aggr):
+        from superpoint_graph_tpu.models.pool import graph_pool
+
+        n, m, c, nc = 20, 40, 6, 8
+        h = rng.randn(n, c).astype(np.float32)
+        child = rng.randint(0, n, m)
+        parent = rng.randint(0, nc, m)
+        mask = rng.rand(m) > 0.2
+        got = np.asarray(
+            graph_pool(jnp.asarray(h), jnp.asarray(child), jnp.asarray(parent),
+                       nc, jnp.asarray(mask), aggr)
+        )
+        want = self._oracle(h, child, parent, mask, nc, aggr)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_padding_invariance(self, rng):
+        from superpoint_graph_tpu.models.pool import graph_pool
+
+        n, m, c, nc = 10, 20, 4, 5
+        h = rng.randn(n, c).astype(np.float32)
+        child = rng.randint(0, n, m)
+        parent = rng.randint(0, nc, m)
+        base = graph_pool(jnp.asarray(h), jnp.asarray(child), jnp.asarray(parent),
+                          nc, jnp.ones(m, bool), "max")
+        child2 = np.concatenate([child, rng.randint(0, n, 7)])
+        parent2 = np.concatenate([parent, rng.randint(0, nc, 7)])
+        mask2 = np.concatenate([np.ones(m, bool), np.zeros(7, bool)])
+        padded = graph_pool(jnp.asarray(h), jnp.asarray(child2),
+                            jnp.asarray(parent2), nc, jnp.asarray(mask2), "max")
+        np.testing.assert_allclose(np.asarray(base), np.asarray(padded))
+
+    def test_unpool(self, rng):
+        from superpoint_graph_tpu.models.pool import graph_unpool
+
+        hc = rng.randn(4, 3).astype(np.float32)
+        parent_of = np.array([0, 0, 1, 3, 2])
+        out = np.asarray(graph_unpool(jnp.asarray(hc), jnp.asarray(parent_of)))
+        np.testing.assert_allclose(out, hc[parent_of])
+
+
+class TestVoronoiAdjacency:
+    def test_merged_edges_superset_structure(self, rng):
+        from superpoint_graph_tpu.ops.knn import compute_graph_nn_2
+
+        xyz = rng.rand(200, 3).astype(np.float32)
+        g_knn, _ = compute_graph_nn_2(xyz, 5, 10)
+        g_vor, _ = compute_graph_nn_2(xyz, 5, 10, voronoi=0.5)
+        # voronoi mode dedupes: no duplicate directed edges
+        eid = g_vor["source"].astype(np.int64) + 200 * g_vor["target"].astype(np.int64)
+        assert len(np.unique(eid)) == len(eid)
+        # distances consistent with coordinates
+        d = np.sqrt(((xyz[g_vor["source"]] - xyz[g_vor["target"]]) ** 2).sum(1))
+        np.testing.assert_allclose(d, g_vor["distances"], rtol=1e-4, atol=1e-5)
+
+
+class TestRandomSubgraphPy:
+    def test_budget_and_masks(self, rng):
+        from superpoint_graph_tpu.ops.subgraph import random_subgraph
+
+        n = 300
+        src = rng.randint(0, n, 900)
+        tgt = rng.randint(0, n, 900)
+        esel, vsel = random_subgraph(n, src, tgt, 120, rng)
+        assert vsel.sum() == 120
+        assert (esel == (vsel[src] & vsel[tgt])).all()
+
+
+class TestProviderUtils:
+    def test_reduced_labels2full(self):
+        from superpoint_graph_tpu.data.provider import reduced_labels2full
+
+        comps = [np.array([0, 2]), np.array([1, 3, 4])]
+        full = reduced_labels2full(np.array([5, 7]), comps, 5)
+        assert full.tolist() == [5, 7, 5, 7, 7]
+
+    def test_interpolate_labels(self, rng):
+        from superpoint_graph_tpu.data.provider import interpolate_labels
+
+        xyz = rng.rand(50, 3).astype(np.float32)
+        labels = rng.randint(0, 5, 50)
+        up = xyz + rng.randn(50, 3).astype(np.float32) * 1e-4
+        got = interpolate_labels(up, xyz, labels)
+        np.testing.assert_array_equal(got, labels)
+
+    def test_colormaps(self):
+        from superpoint_graph_tpu.data.provider import (
+            get_color_from_label,
+            labels_to_colors,
+        )
+
+        c = get_color_from_label(2, "s3dis")
+        assert c.shape == (3,)
+        cs = labels_to_colors(np.array([0, 1, 2]), "sema3d")
+        assert cs.shape == (3, 3)
+
+    def test_ply_roundtrip(self, rng, tmp_path):
+        from superpoint_graph_tpu.utils.plyio import read_ply, write_ply
+
+        xyz = rng.rand(20, 3).astype(np.float32)
+        rgb = (rng.rand(20, 3) * 255).astype(np.uint8)
+        path = str(tmp_path / "t.ply")
+        write_ply(path, {"x": xyz[:, 0], "y": xyz[:, 1], "z": xyz[:, 2],
+                         "red": rgb[:, 0], "green": rgb[:, 1], "blue": rgb[:, 2]})
+        props = read_ply(path)
+        np.testing.assert_allclose(props["x"], xyz[:, 0], rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(props["green"], rgb[:, 1])
+
+
+class TestTracing:
+    def test_stage_timer(self):
+        from superpoint_graph_tpu.utils.tracing import StageTimer
+
+        t = StageTimer()
+        with t.stage("a"):
+            pass
+        with t.stage("a"):
+            pass
+        rep = t.report()
+        assert rep["a"]["count"] == 2
+
+    def test_trace_noop_without_env(self, monkeypatch):
+        from superpoint_graph_tpu.utils.tracing import trace
+
+        monkeypatch.delenv("SPGT_TRACE_DIR", raising=False)
+        with trace("x"):
+            pass
