@@ -17,9 +17,29 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: compiles survive across bench runs
+    (the partition programs are large; first-compile dominates otherwise)."""
+    import jax
+
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_spgt"
+    )
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
 
 N_POINTS = 60000
 N_REPEATS = 3
@@ -37,37 +57,42 @@ def tpu_partition_time(xyz, rgb, cfg):
 
 
 def host_partition_time(xyz, rgb, cfg):
-    """Reference-style host pipeline: KD-tree kNN, numpy geof, exact CP."""
+    """Reference-architecture host pipeline: KD-tree kNN (sklearn, like
+    graphs.py:26) + the C++ native kernels (compute_geof, l0 cut pursuit with
+    Dinic max-flow — native/spgt_native.cpp) + the vectorized SPG builder.
+    This mirrors the reference's C++-kernels-plus-host-orchestration design
+    and is the measured stand-in for its absent buildable binaries."""
     from sklearn.neighbors import NearestNeighbors
 
+    from superpoint_graph_tpu import native
     from superpoint_graph_tpu.graph.spg import compute_sp_graph
-    from superpoint_graph_tpu.ops.cutpursuit import cutpursuit
-    from superpoint_graph_tpu.ops.eigen3 import eigh3x3  # noqa: F401
+
+    if native.available():
+        geof_fn = lambda x, i: native.compute_geof(x, i, i.shape[1])
+        cp_fn = lambda f, s, t, w, reg: native.cutpursuit(
+            f, s, t, w, reg, max_iter=6
+        )
+    else:
+        from superpoint_graph_tpu.ops.cutpursuit import cutpursuit
+        from superpoint_graph_tpu.ops.geof import compute_geof_numpy
+
+        geof_fn = compute_geof_numpy
+        cp_fn = lambda f, s, t, w, reg: cutpursuit(f, s, t, w, reg, max_iter=6)
 
     def run():
-        nn = NearestNeighbors(n_neighbors=cfg.k_nn_geof + 1, algorithm="kd_tree").fit(xyz)
+        nn = NearestNeighbors(
+            n_neighbors=cfg.k_nn_geof + 1, algorithm="kd_tree"
+        ).fit(xyz)
         dist, idx = nn.kneighbors(xyz)
-        idx, dist = idx[:, 1:], dist[:, 1:]
-        # vectorized numpy geof (the reference's per-point Eigen loop, batched)
-        pos = np.concatenate([xyz[:, None, :], xyz[idx]], axis=1)
-        cen = pos - pos.mean(1, keepdims=True)
-        cov = np.einsum("nki,nkj->nij", cen, cen) / (cfg.k_nn_geof + 1)
-        ev = np.linalg.eigvalsh(cov)[:, ::-1]
-        ev = np.maximum(ev, 0)
-        s = np.sqrt(ev + 1e-10)
-        geof = np.stack(
-            [(s[:, 0] - s[:, 1]) / s[:, 0],
-             (s[:, 1] - s[:, 2]) / s[:, 0],
-             s[:, 2] / s[:, 0],
-             np.ones(len(xyz), np.float32)], 1,
-        ).astype(np.float32)
+        idx, dist = idx[:, 1:].astype(np.uint32), dist[:, 1:]
+        geof = geof_fn(xyz, idx)
         src = np.repeat(np.arange(len(xyz)), cfg.k_nn_adj)
         tgt = idx[:, : cfg.k_nn_adj].reshape(-1)
         d = dist[:, : cfg.k_nn_adj].reshape(-1)
-        w = 1.0 / (cfg.lambda_edge_weight + d / d.mean())
+        w = (1.0 / (cfg.lambda_edge_weight + d / d.mean())).astype(np.float32)
         feats = np.hstack([geof, rgb / 255.0]).astype(np.float32)
-        comps, in_comp = cutpursuit(feats, src, tgt, w, cfg.reg_strength,
-                                    max_iter=6)
+        feats[:, 3] *= 2.0
+        comps, in_comp = cp_fn(feats, src, tgt, w, cfg.reg_strength)
         compute_sp_graph(xyz, cfg.d_se_max, in_comp, comps, None, 0,
                          adjacency=cfg.spg_adjacency)
 

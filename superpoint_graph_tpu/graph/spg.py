@@ -121,16 +121,31 @@ def compute_sp_graph(
     labels,
     n_labels: int,
     adjacency: str = "delaunay",
+    knn_edges=None,
 ):
     """Build the superpoint graph dict (same keys/shapes/dtypes as the
-    reference's graphs.py:75-210 so provider-h5 interop holds)."""
+    reference's graphs.py:75-210 so provider-h5 interop holds).
+
+    `knn_edges=(source, target)` reuses an existing adjacency graph (e.g. the
+    partition's kNN edges) as superedge support instead of re-searching —
+    saves a full kNN pass in the fused pipeline."""
     xyz = np.asarray(xyz, np.float32)
     in_component = np.asarray(in_component).astype(np.int64)
     n_com = int(in_component.max()) + 1
     has_labels = labels is not None and np.size(labels) > 1
     label_hist = has_labels and np.ndim(labels) > 1 and np.shape(labels)[1] > 1
 
-    if adjacency == "delaunay":
+    if knn_edges is not None:
+        src = np.asarray(knn_edges[0], np.int64)
+        tgt = np.asarray(knn_edges[1], np.int64)
+        m = in_component[src] != in_component[tgt]
+        edges = np.unique(
+            np.concatenate(
+                [np.stack([src[m], tgt[m]]), np.stack([tgt[m], src[m]])], axis=1
+            ),
+            axis=1,
+        )
+    elif adjacency == "delaunay":
         edges = _delaunay_cross_edges(xyz, in_component)
     elif adjacency == "knn":
         edges = _knn_cross_edges(xyz, in_component)

@@ -27,6 +27,8 @@ def ecc_conv(
     tgt: jax.Array,
     edge_mask: jax.Array,
     n_nodes: int,
+    attention: bool = False,
+    negative_slope: float = 0.2,
 ) -> jax.Array:
     """Edge-conditioned convolution over a padded edge list.
 
@@ -37,9 +39,22 @@ def ecc_conv(
       src/tgt: [E] int32 edge endpoints; padding edges may point anywhere.
       edge_mask: [E] bool, False for padding edges.
       n_nodes: static node-capacity N.
+      attention: edge-softmax filters (reference local NNConv `softmax` mode,
+        learning/modules.py:104-116): leaky-relu the filters, then per-channel
+        softmax over each target node's incoming edges.
 
     Returns [N, C_out] aggregated node features.
     """
+    if attention:
+        w = jax.nn.leaky_relu(weights, negative_slope)
+        flat = w.reshape(w.shape[0], -1)
+        flat = jnp.where(edge_mask[:, None], flat, -1e30)
+        mx = jax.ops.segment_max(flat, tgt, num_segments=n_nodes)
+        ex = jnp.exp(flat - mx[tgt])
+        ex = jnp.where(edge_mask[:, None], ex, 0.0)
+        den = jax.ops.segment_sum(ex, tgt, num_segments=n_nodes)
+        weights = (ex / jnp.maximum(den[tgt], 1e-20)).reshape(w.shape)
+
     hs = h[src]  # [E, C]
     if weights.ndim == 2:
         msg = hs * weights

@@ -128,6 +128,13 @@ def partition_cloud(
         labels,
         n_labels,
         adjacency=cfg.spg_adjacency,
+        # 'knn' mode reuses the partition's adjacency edges as superedge
+        # support instead of a second kNN search
+        knn_edges=(
+            (graph_nn["source"], graph_nn["target"])
+            if cfg.spg_adjacency == "knn"
+            else None
+        ),
     )
     times["spg"] = time.perf_counter() - t0
 

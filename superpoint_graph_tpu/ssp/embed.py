@@ -186,3 +186,26 @@ class SspTrainer:
             {"params": state["params"], "batch_stats": state["batch_stats"]},
             jnp.asarray(clouds), jnp.asarray(clouds_global), None, train=False,
         )
+
+    def embed_chunked(self, state, clouds, clouds_global, chunk: int = 65536):
+        """Chunked inference for huge clouds (the reference's run_batch /
+        run_batch_cpu 2^16-row batching, pointnet.py:189-218): pads the tail
+        chunk so every chunk hits one cached executable, streams results to
+        host."""
+        import numpy as np
+
+        n = clouds.shape[0]
+        out = []
+        for i in range(0, n, chunk):
+            c = np.asarray(clouds[i : i + chunk])
+            g = np.asarray(clouds_global[i : i + chunk])
+            m = len(c)
+            if m < chunk:
+                c = np.concatenate(
+                    [c, np.zeros((chunk - m,) + c.shape[1:], c.dtype)]
+                )
+                g = np.concatenate(
+                    [g, np.zeros((chunk - m,) + g.shape[1:], g.dtype)]
+                )
+            out.append(np.asarray(self.embed(state, c, g))[:m])
+        return np.concatenate(out) if out else np.zeros((0,))

