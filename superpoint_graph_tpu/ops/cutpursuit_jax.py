@@ -51,7 +51,8 @@ def _energy(f, nw, comp, src, tgt, w, reg, n):
 
 @partial(
     jax.jit,
-    static_argnames=("max_iter", "icm_sweeps", "flow_steps", "power_iters", "cc_iters"),
+    static_argnames=("max_iter", "icm_sweeps", "flow_steps", "power_iters",
+                     "cc_iters", "sorted_reductions"),
 )
 def _solve(
     f,
@@ -60,16 +61,70 @@ def _solve(
     w,
     nw,
     reg,
+    tgt_perm=None,
     *,
     max_iter: int = 8,
     icm_sweeps: int = 4,
     flow_steps: int = 3,
     power_iters: int = 8,
-    cc_iters: int = 64,
+    cc_iters: int = 48,
+    sorted_reductions: bool = False,
 ):
     n, d = f.shape
     iota = jnp.arange(n, dtype=jnp.int32)
     parity = (iota % 2).astype(bool)
+
+    # The edge keys (src, tgt) never change across the solve; with
+    # sorted_reductions the edge-keyed reductions exploit that via
+    # indices_are_sorted (src sorted by the wrapper's canonicalization, tgt
+    # via the precomputed permutation). Measured a wash on v5e over the
+    # tunnel — kept switchable for real-pod profiling.
+    if tgt_perm is None:
+        tgt_perm = jnp.argsort(tgt)
+    tgt_s = tgt[tgt_perm]
+
+    if sorted_reductions:
+        def seg_sum_by_src(vals):
+            return jax.ops.segment_sum(
+                vals, src, num_segments=n, indices_are_sorted=True
+            )
+
+        def seg_sum_by_tgt(vals):
+            return jax.ops.segment_sum(
+                vals[tgt_perm], tgt_s, num_segments=n, indices_are_sorted=True
+            )
+
+        def seg_min_by_src(vals):
+            return jax.ops.segment_min(
+                vals, src, num_segments=n, indices_are_sorted=True
+            )
+
+        def seg_min_by_tgt(vals):
+            return jax.ops.segment_min(
+                vals[tgt_perm], tgt_s, num_segments=n, indices_are_sorted=True
+            )
+    else:
+        def seg_sum_by_src(vals):
+            return jax.ops.segment_sum(vals, src, num_segments=n)
+
+        def seg_sum_by_tgt(vals):
+            return jax.ops.segment_sum(vals, tgt, num_segments=n)
+
+        def seg_min_by_src(vals):
+            return jax.ops.segment_min(vals, src, num_segments=n)
+
+        def seg_min_by_tgt(vals):
+            return jax.ops.segment_min(vals, tgt, num_segments=n)
+
+    def cc_sweep(lab, active):
+        big = jnp.int32(2147483647)
+        m = jnp.where(active, jnp.minimum(lab[src], lab[tgt]), big)
+        new = jnp.minimum(seg_min_by_src(m), seg_min_by_tgt(m))
+        lab = jnp.minimum(lab, jnp.where(new == big, lab, new))
+        lab = jnp.minimum(lab, lab[lab])
+        lab = jnp.minimum(lab, lab[lab])
+        lab = jnp.minimum(lab, lab[lab])
+        return lab
 
     def split_once(comp, saturated, mean):
         resid = f - mean[comp]
@@ -82,17 +137,19 @@ def _solve(
         v = jnp.ones((n, d), f.dtype) + 0.01 * jnp.sin(
             iota[:, None].astype(f.dtype) * jnp.arange(1, d + 1, dtype=f.dtype)
         )
-        def pw(_, v):
+        # unrolled power iteration (lax loop carry costs ~20ms/iter on TPU)
+        for _ in range(power_iters):
             v = jnp.einsum("nij,nj->ni", cov, v)
-            return v * jax.lax.rsqrt(jnp.sum(v * v, axis=1, keepdims=True) + 1e-20)
-        v = jax.lax.fori_loop(0, power_iters, pw, v)
+            v = v * jax.lax.rsqrt(jnp.sum(v * v, axis=1, keepdims=True) + 1e-20)
         b = jnp.sum(resid * v[comp], axis=1) > 0
         b = jnp.where(saturated[comp], False, b)
 
         intra = comp[src] == comp[tgt]
         w_intra = jnp.where(intra, w, 0.0)
 
-        def alternate(_, b):
+        # unrolled alternations + ICM sweeps (static trip counts; lax loop
+        # carries cost ~20ms/iter on TPU, unrolled bodies ~2ms)
+        for _ in range(flow_steps):
             bf = b.astype(f.dtype)[:, None]
             hp, cp_ = _seg_mean(f, comp, n, weights=nw * bf[:, 0])
             hm, cm_ = _seg_mean(f, comp, n, weights=nw * (1.0 - bf[:, 0]))
@@ -102,27 +159,17 @@ def _solve(
                 jnp.sum((f - hp[comp]) ** 2, axis=1)
                 - jnp.sum((f - hm[comp]) ** 2, axis=1)
             )
-
-            def icm(s, b):
+            for s in range(2 * icm_sweeps):
                 # graph term: for an in-region edge (u,v), labeling u as 1
                 # costs reg*w*(1 - 2 b_v); accumulated from both endpoints
-                field = jax.ops.segment_sum(
-                    reg * w_intra * (1.0 - 2.0 * b[tgt].astype(f.dtype)),
-                    src,
-                    num_segments=n,
-                ) + jax.ops.segment_sum(
-                    reg * w_intra * (1.0 - 2.0 * b[src].astype(f.dtype)),
-                    tgt,
-                    num_segments=n,
+                field = seg_sum_by_src(
+                    reg * w_intra * (1.0 - 2.0 * b[tgt].astype(f.dtype))
+                ) + seg_sum_by_tgt(
+                    reg * w_intra * (1.0 - 2.0 * b[src].astype(f.dtype))
                 )
                 want = (delta_u + field) < 0
                 upd = parity == (s % 2 == 0)
-                return jnp.where(upd, want, b)
-
-            b = jax.lax.fori_loop(0, 2 * icm_sweeps, icm, b)
-            return b
-
-        b = jax.lax.fori_loop(0, flow_steps, alternate, b)
+                b = jnp.where(upd, want, b)
         b = jnp.where(saturated[comp], False, b)
         return b
 
@@ -131,9 +178,9 @@ def _solve(
         _, mean = _energy(f, nw, comp, src, tgt, w, reg, n)
         b = split_once(comp, saturated, mean)
         same = (comp[src] == comp[tgt]) & (b[src] == b[tgt])
-        new_comp = connected_components_jax(
-            src, tgt, same, n, n_iter=cc_iters
-        )
+        new_comp = iota
+        for _ in range(cc_iters):
+            new_comp = cc_sweep(new_comp, same)
         new_energy, _ = _energy(f, nw, new_comp, src, tgt, w, reg, n)
         improved = new_energy < energy - 1e-6 * jnp.maximum(jnp.abs(energy), 1.0)
         # saturation: old region unsplit (its new label is constant) -> freeze
@@ -183,15 +230,28 @@ def cutpursuit_tpu(
     if f.ndim == 1:
         f = f[:, None]
     n = f.shape[0]
-    src = jnp.asarray(source, jnp.int32)
-    tgt = jnp.asarray(target, jnp.int32)
-    w = jnp.asarray(edge_weight, jnp.float32)
+    # canonicalize the edge list: _solve's sorted segment reductions require
+    # edges ordered by src (the solver's contract); a tgt-sorting permutation
+    # is precomputed alongside
+    src_h = np.asarray(source, np.int64)
+    tgt_h = np.asarray(target, np.int64)
+    w_h = np.asarray(edge_weight, np.float32)
+    if not np.all(src_h[1:] >= src_h[:-1]):
+        e_order = np.argsort(src_h, kind="stable")
+        src_h, tgt_h, w_h = src_h[e_order], tgt_h[e_order], w_h[e_order]
+    src = jnp.asarray(src_h, jnp.int32)
+    tgt = jnp.asarray(tgt_h, jnp.int32)
+    w = jnp.asarray(w_h, jnp.float32)
     nw = (
         jnp.ones(n, jnp.float32)
         if node_weight is None
         else jnp.asarray(node_weight, jnp.float32)
     )
-    comp, _ = _solve(jnp.asarray(f), src, tgt, w, nw, jnp.float32(reg_strength), **solver_kw)
+    tgt_perm = jnp.asarray(np.argsort(tgt_h, kind="stable"), jnp.int32)
+    comp, _ = _solve(
+        jnp.asarray(f), src, tgt, w, nw, jnp.float32(reg_strength), tgt_perm,
+        **solver_kw,
+    )
     comp = np.asarray(comp)
 
     # densify root labels to 0..n_comp-1 in first-occurrence order

@@ -54,12 +54,14 @@ class PartitionResult:
 
 
 def partition_features(xyz: np.ndarray, cfg: PartitionConfig):
-    """kNN graphs + geometric features (the 'features' timing bucket)."""
+    """kNN graphs + geometric features (the 'features' timing bucket).
+
+    The geof neighbor table flows device-to-device from the kNN into the
+    feature kernel — only the small adjacency graph and the 4-channel features
+    are fetched to host."""
     graph_nn, target_geof = compute_graph_nn_2(xyz, cfg.k_nn_adj, cfg.k_nn_geof)
     geof = np.asarray(
-        geof_ops.compute_geof(
-            jnp.asarray(xyz, jnp.float32), jnp.asarray(target_geof.astype(np.int32))
-        )
+        geof_ops.compute_geof(jnp.asarray(xyz, jnp.float32), target_geof)
     )
     return graph_nn, geof
 

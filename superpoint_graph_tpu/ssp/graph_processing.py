@@ -98,18 +98,16 @@ def build_supervision_structure(
             )
             objects = np.zeros(len(xyz), np.uint32)
     n_ver = len(xyz)
-    graph_nn, local_neighbors = compute_graph_nn_2(
+    graph_nn, local_neighbors_dev = compute_graph_nn_2(
         xyz, cfg.k_nn_adj, cfg.k_nn_local, voronoi=float(cfg.use_voronoi)
     )
+    local_neighbors = np.asarray(local_neighbors_dev).astype(np.uint32)
     is_transition, objects = compute_transitions(
         cfg.dataset, objects, labels, graph_nn, n_ver
     )
     if cfg.compute_geof:
         geof = np.array(
-            geof_ops.compute_geof(
-                jnp.asarray(xyz, jnp.float32),
-                jnp.asarray(local_neighbors.astype(np.int32)),
-            )
+            geof_ops.compute_geof(jnp.asarray(xyz, jnp.float32), local_neighbors_dev)
         )
         geof[:, 3] *= 2.0
     else:
