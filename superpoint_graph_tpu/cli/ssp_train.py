@@ -146,6 +146,35 @@ def main(argv=None):
     if not train_files:
         raise SystemExit("no features_supervision files found; run ssp_preprocess")
 
+    use_geof = (not args.learned_embeddings) or "geof" in args.ver_value
+    if use_geof:
+        # spatialEmbedder parity (reference graph_processing.py:548-560):
+        # handcrafted geof(+rgb) features ARE the embeddings — no training,
+        # straight to partition evaluation
+        ev = FinalEvaluator(n_classes, args.BR_tolerance)
+        for path in test_files or train_files:
+            sample = graph_collate([graph_loader(path, False, loader_cfg)])
+            emb = np.asarray(sample["clouds"], np.float32).reshape(
+                len(sample["xyz"]), -1
+            )
+            diff = np.asarray(
+                compute_dist(
+                    jnp.asarray(emb),
+                    jnp.asarray(sample["edg_source"], jnp.int32),
+                    jnp.asarray(sample["edg_target"], jnp.int32),
+                    loss_cfg.dist_type,
+                )
+            )
+            spg_path = None
+            if args.spg_out:
+                rel = os.path.relpath(
+                    path, os.path.join(root, "features_supervision")
+                )
+                spg_path = os.path.join(hierarchy.spg_folder, rel)
+            ev.add_cloud(loss_cfg, emb, diff, sample, spg_out_path=spg_path)
+        ev.write_res(os.path.join(hierarchy.outputdir, "res.h5"))
+        return
+
     rs = np.random.RandomState(args.seed)
     trainer = SspTrainer(model_cfg, loss_cfg, lr=args.lr,
                          grad_clip=args.grad_clip)

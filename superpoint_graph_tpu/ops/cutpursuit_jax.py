@@ -209,6 +209,170 @@ def _solve(
     return comp, energy
 
 
+@partial(
+    jax.jit,
+    static_argnames=("max_iter", "icm_sweeps", "flow_steps", "power_iters",
+                     "cc_iters"),
+)
+def _solve_dense(
+    f,
+    nbr,        # [n, K] int32 neighbor ids (symmetrized, padded with self)
+    nbr_w,      # [n, K] float edge weight per slot (0 for padding)
+    nbr_mask,   # [n, K] bool
+    nw,
+    reg,
+    *,
+    max_iter: int = 8,
+    icm_sweeps: int = 4,
+    flow_steps: int = 3,
+    power_iters: int = 8,
+    cc_iters: int = 48,
+):
+    """Dense-neighbor cut pursuit: kNN partition graphs have fixed degree, so
+    the graph lives as a [n, K] neighbor matrix (each undirected edge appears
+    in both endpoints' rows). Every edge aggregation — the CC hooking sweeps
+    and the ICM graph field, i.e. ALL the hot ops — becomes gather + masked
+    row-reduction: pure VPU work, zero scatters. Only the region-keyed
+    means/covariances (small, [n]-sized) remain segment reductions.
+
+    Cross-partition energy counts each undirected edge twice (once per
+    endpoint row) and is halved accordingly.
+    """
+    n, d = f.shape
+    iota = jnp.arange(n, dtype=jnp.int32)
+    parity = (iota % 2).astype(bool)
+    wmask = jnp.where(nbr_mask, nbr_w, 0.0)
+
+    def energy_of(comp, mean):
+        fid = jnp.sum(nw * jnp.sum((f - mean[comp]) ** 2, axis=1))
+        cross = jnp.sum(jnp.where(comp[nbr] != comp[:, None], wmask, 0.0))
+        return fid + reg * 0.5 * cross
+
+    def means_of(comp):
+        mean, _ = _seg_mean(f, comp, n, weights=nw)
+        return mean
+
+    def cc_pass(lab, same_nbr):
+        # same_nbr: [n, K] bool — neighbor in same (comp, b) region
+        big = jnp.int32(2147483647)
+        for _ in range(cc_iters):
+            cand = jnp.where(same_nbr, lab[nbr], big)
+            lab = jnp.minimum(lab, jnp.min(cand, axis=1))
+            lab = jnp.minimum(lab, lab[lab])
+            lab = jnp.minimum(lab, lab[lab])
+            lab = jnp.minimum(lab, lab[lab])
+        return lab
+
+    def split_once(comp, saturated, mean):
+        resid = f - mean[comp]
+        cov = jax.ops.segment_sum(
+            (resid[:, :, None] * resid[:, None, :]).reshape(n, d * d),
+            comp,
+            num_segments=n,
+        ).reshape(n, d, d)
+        v = jnp.ones((n, d), f.dtype) + 0.01 * jnp.sin(
+            iota[:, None].astype(f.dtype) * jnp.arange(1, d + 1, dtype=f.dtype)
+        )
+        for _ in range(power_iters):
+            v = jnp.einsum("nij,nj->ni", cov, v)
+            v = v * jax.lax.rsqrt(jnp.sum(v * v, axis=1, keepdims=True) + 1e-20)
+        b = jnp.sum(resid * v[comp], axis=1) > 0
+        b = jnp.where(saturated[comp], False, b)
+
+        intra_nbr = comp[nbr] == comp[:, None]
+        w_intra = jnp.where(intra_nbr, wmask, 0.0)
+
+        for _ in range(flow_steps):
+            bf = b.astype(f.dtype)
+            hp, cp_ = _seg_mean(f, comp, n, weights=nw * bf)
+            hm, cm_ = _seg_mean(f, comp, n, weights=nw * (1.0 - bf))
+            hp = jnp.where((cp_ > 0)[:, None], hp, mean)
+            hm = jnp.where((cm_ > 0)[:, None], hm, mean)
+            delta_u = nw * (
+                jnp.sum((f - hp[comp]) ** 2, axis=1)
+                - jnp.sum((f - hm[comp]) ** 2, axis=1)
+            )
+            for s in range(2 * icm_sweeps):
+                field = reg * jnp.sum(
+                    w_intra * (1.0 - 2.0 * b[nbr].astype(f.dtype)), axis=1
+                )
+                want = (delta_u + field) < 0
+                upd = parity == (s % 2 == 0)
+                b = jnp.where(upd, want, b)
+        return jnp.where(saturated[comp], False, b)
+
+    def body(state):
+        comp, saturated, energy, it, _ = state
+        mean = means_of(comp)
+        b = split_once(comp, saturated, mean)
+        same_nbr = (comp[nbr] == comp[:, None]) & (
+            b[nbr] == b[:, None]
+        ) & nbr_mask
+        new_comp = cc_pass(iota, same_nbr)
+        new_energy = energy_of(new_comp, means_of(new_comp))
+        improved = new_energy < energy - 1e-6 * jnp.maximum(jnp.abs(energy), 1.0)
+        hi = jax.ops.segment_max(new_comp, comp, num_segments=n)
+        lo = jax.ops.segment_min(new_comp, comp, num_segments=n)
+        new_sat = (hi == lo)[comp]
+        sat_flag = jax.ops.segment_max(
+            new_sat.astype(jnp.int32), new_comp, num_segments=n
+        ).astype(bool)
+        comp_out = jnp.where(improved, new_comp, comp)
+        sat_out = jnp.where(improved, sat_flag, saturated)
+        e_out = jnp.where(improved, new_energy, energy)
+        return comp_out, sat_out, e_out, it + 1, improved
+
+    def cond(state):
+        return (state[3] < max_iter) & state[4]
+
+    comp0 = jnp.zeros(n, jnp.int32)
+    energy0 = energy_of(comp0, means_of(comp0))
+    state = (comp0, jnp.zeros(n, bool), energy0, jnp.int32(0), jnp.bool_(True))
+    comp, saturated, energy, it, _ = jax.lax.while_loop(cond, body, state)
+    return comp, energy
+
+
+def _dense_neighbors(n, source, target, weight, cap=None):
+    """Symmetrized dense neighbor matrix from an undirected-unique edge list.
+
+    Returns (nbr [n,K] int32, w [n,K] f32, mask [n,K] bool, kept_fraction).
+    Vertices with degree > K keep their K heaviest edges (kept_fraction
+    reports coverage so callers can fall back to the edge-list solver)."""
+    src = np.asarray(source, np.int64)
+    tgt = np.asarray(target, np.int64)
+    w = np.asarray(weight, np.float64)
+    # deduplicate undirected edges, SUMMING duplicate directed weights (the
+    # reference counts each input edge once, so a mutual kNN pair contributes
+    # twice its weight to the cut cost)
+    lo = np.minimum(src, tgt)
+    hi = np.maximum(src, tgt)
+    key = lo * n + hi
+    uniq_key, inv = np.unique(key, return_inverse=True)
+    wsum = np.zeros(len(uniq_key))
+    np.add.at(wsum, inv, w)
+    lo, hi, w = uniq_key // n, uniq_key % n, wsum
+    a = np.concatenate([lo, hi])
+    b = np.concatenate([hi, lo])
+    ww = np.concatenate([w, w])
+    deg = np.bincount(a, minlength=n)
+    K = int(deg.max()) if cap is None else min(int(deg.max()), cap)
+    order = np.lexsort((-ww, a))  # per-vertex, heaviest first
+    a, b, ww = a[order], b[order], ww[order]
+    starts = np.zeros(n + 1, np.int64)
+    np.cumsum(deg, out=starts[1:])
+    slot = np.arange(len(a)) - starts[a]
+    keep = slot < K
+    nbr = np.zeros((n, K), np.int64)
+    wmat = np.zeros((n, K), np.float32)
+    mask = np.zeros((n, K), bool)
+    nbr[a[keep], slot[keep]] = b[keep]
+    wmat[a[keep], slot[keep]] = ww[keep]
+    mask[a[keep], slot[keep]] = True
+    nbr[~mask] = np.arange(n)[:, None].repeat(K, 1)[~mask]  # self for padding
+    kept = keep.sum() / max(len(a), 1)
+    return (nbr.astype(np.int32), wmat, mask, float(kept))
+
+
 def cutpursuit_tpu(
     features: np.ndarray,
     source: np.ndarray,
@@ -239,19 +403,29 @@ def cutpursuit_tpu(
     if not np.all(src_h[1:] >= src_h[:-1]):
         e_order = np.argsort(src_h, kind="stable")
         src_h, tgt_h, w_h = src_h[e_order], tgt_h[e_order], w_h[e_order]
-    src = jnp.asarray(src_h, jnp.int32)
-    tgt = jnp.asarray(tgt_h, jnp.int32)
-    w = jnp.asarray(w_h, jnp.float32)
     nw = (
         jnp.ones(n, jnp.float32)
         if node_weight is None
         else jnp.asarray(node_weight, jnp.float32)
     )
-    tgt_perm = jnp.asarray(np.argsort(tgt_h, kind="stable"), jnp.int32)
-    comp, _ = _solve(
-        jnp.asarray(f), src, tgt, w, nw, jnp.float32(reg_strength), tgt_perm,
-        **solver_kw,
-    )
+    # dense neighbor-matrix solver whenever the max degree is bounded
+    # (kNN partition graphs always are) — all hot aggregations become
+    # gather + row-sum instead of scatters
+    nbr, wmat, mask, kept = _dense_neighbors(n, src_h, tgt_h, w_h, cap=64)
+    if kept >= 0.999:
+        comp, _ = _solve_dense(
+            jnp.asarray(f), jnp.asarray(nbr), jnp.asarray(wmat),
+            jnp.asarray(mask), nw, jnp.float32(reg_strength), **solver_kw,
+        )
+    else:
+        src = jnp.asarray(src_h, jnp.int32)
+        tgt = jnp.asarray(tgt_h, jnp.int32)
+        w = jnp.asarray(w_h, jnp.float32)
+        tgt_perm = jnp.asarray(np.argsort(tgt_h, kind="stable"), jnp.int32)
+        comp, _ = _solve(
+            jnp.asarray(f), src, tgt, w, nw, jnp.float32(reg_strength),
+            tgt_perm, **solver_kw,
+        )
     comp = np.asarray(comp)
 
     # densify root labels to 0..n_comp-1 in first-occurrence order

@@ -81,3 +81,15 @@ class TestSspCli:
         assert os.path.isfile(
             os.path.join(ssp_tree, "results_partition", "results.txt")
         )
+
+    def test_geof_passthrough_mode(self, ssp_tree):
+        """spatialEmbedder parity: handcrafted geof features as embeddings."""
+        from superpoint_graph_tpu.cli import ssp_train
+
+        odir = os.path.join(ssp_tree, "results_partition_geof")
+        ssp_train.main([
+            "--ROOT_PATH", ssp_tree, "--dataset", "s3dis", "--cvfold", "2",
+            "--odir", odir, "--ver_value", "geof",
+            "--CP_cutoff", "5", "--reg_strength", "0.1", "--spatial_emb", "0",
+        ])
+        assert os.path.isfile(os.path.join(odir, "cv2", "res.h5"))
