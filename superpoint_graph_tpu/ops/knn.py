@@ -140,6 +140,84 @@ def knn(
     return best_i, jnp.maximum(-neg_top, 0.0)
 
 
+def knn_vs_db(
+    queries: jax.Array,
+    db: jax.Array,
+    k: int,
+    *,
+    self_offset: int | jax.Array | None = None,
+    block_q: int = 1024,
+    block_db: int = 65536,
+    recall_target: float = 0.99,
+) -> tuple[jax.Array, jax.Array]:
+    """kNN of `queries` among `db` (traceable; for use inside shard_map —
+    the building block of the multi-chip giant-cloud partition where each
+    device owns a query shard and the db is replicated).
+
+    `self_offset`: when queries are rows [off, off+m) of db, excludes each
+    query's own db row. Shapes must be padded by the caller (db pad rows at
+    +1e17). Returns (indices [m, k] into db, sq_distances [m, k])."""
+    m = queries.shape[0]
+    n_db = db.shape[0]
+    kq = k + (1 if self_offset is not None else 0)
+    block_db = min(block_db, n_db)
+    block_q = min(block_q, m)
+    assert m % block_q == 0 and n_db % block_db == 0, "caller pads shapes"
+    sq_db = jnp.sum(db * db, axis=-1)
+    n_tiles = n_db // block_db
+    db_tiles = db.reshape(n_tiles, block_db, 3)
+    sq_tiles = sq_db.reshape(n_tiles, block_db)
+
+    def per_query_block(xq_blk):
+        sq_q = jnp.sum(xq_blk * xq_blk, axis=-1, keepdims=True)
+
+        def tile_candidates(db_blk, sq_blk, tile_idx):
+            d2 = sq_q + sq_blk[None, :] - 2.0 * jnp.dot(
+                xq_blk, db_blk.T,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            cd, ci = jax.lax.approx_min_k(d2, kq, recall_target=recall_target)
+            return cd, ci + tile_idx * block_db
+
+        if n_tiles == 1:
+            return tile_candidates(db_tiles[0], sq_tiles[0], 0)
+
+        def scan_tile(carry, tile):
+            best_d, best_i = carry
+            cd, ci = tile_candidates(*tile)
+            cat_d = jnp.concatenate([best_d, cd], axis=1)
+            cat_i = jnp.concatenate([best_i, ci], axis=1)
+            neg_top, arg = jax.lax.top_k(-cat_d, kq)
+            return ((-neg_top, jnp.take_along_axis(cat_i, arg, axis=1)), None)
+
+        init = (
+            jnp.full((xq_blk.shape[0], kq), _INF, jnp.float32),
+            jnp.full((xq_blk.shape[0], kq), 0, jnp.int32),
+        )
+        (best_d, best_i), _ = jax.lax.scan(
+            scan_tile, init,
+            (db_tiles, sq_tiles, jnp.arange(n_tiles, dtype=jnp.int32)),
+        )
+        return best_d, best_i
+
+    xq_blocks = queries.reshape(m // block_q, block_q, 3)
+    best_d, best_i = jax.lax.map(per_query_block, xq_blocks)
+    best_d = best_d.reshape(m, kq)
+    best_i = jnp.minimum(best_i.reshape(m, kq), n_db - 1)
+
+    if self_offset is not None:
+        self_idx = self_offset + jnp.arange(m, dtype=jnp.int32)[:, None]
+        best_d = jnp.where(best_i == self_idx, _INF, best_d)
+        neg_top, arg = jax.lax.top_k(-best_d, k)
+        best_i = jnp.take_along_axis(best_i, arg, axis=1)
+
+    diff = queries[:, None, :] - db[best_i]
+    exact = jnp.sum(diff * diff, axis=-1)
+    neg_top, arg = jax.lax.top_k(-exact, exact.shape[1])
+    return jnp.take_along_axis(best_i, arg, axis=1), jnp.maximum(-neg_top, 0.0)
+
+
 @partial(
     jax.jit,
     static_argnames=("k", "n_cells", "cells_per_axis_cap", "slots", "block_q",
