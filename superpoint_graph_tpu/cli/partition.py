@@ -60,6 +60,9 @@ def files_in_folder(root, folder, dataset):
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import numpy as np
 
     from ..data import provider

@@ -26,6 +26,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import numpy as np
 
     from ..data import provider

@@ -96,6 +96,9 @@ def supervision_files(root, dataset, cvfold):
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
 

@@ -230,6 +230,9 @@ def eval_final(args, trainer, state, entries, names, root, loader_cfg, n_ch,
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import h5py
     import jax
 
