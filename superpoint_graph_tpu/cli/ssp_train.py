@@ -187,7 +187,20 @@ def main(argv=None):
         jnp.asarray(probe["clouds_global"]),
     )
     stats = []
-    for epoch in range(args.epochs):
+    start_epoch = 0
+    if args.resume:
+        from ..learn.checkpoint import load_checkpoint
+
+        path = args.resume if os.path.isfile(args.resume) else hierarchy.model_path
+        if os.path.isfile(path):
+            state, start_epoch, _, _ = load_checkpoint(path, state)
+            try:
+                stats = json.loads(
+                    open(os.path.join(hierarchy.outputdir, "trainlog.json")).read()
+                )
+            except Exception:
+                stats = []
+    for epoch in range(start_epoch, args.epochs):
         order = rs.permutation(len(train_files))
         losses, n_clusters = [], []
         for i in range(0, len(order), args.batch_size):

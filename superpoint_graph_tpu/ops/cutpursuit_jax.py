@@ -413,10 +413,32 @@ def cutpursuit_tpu(
     # gather + row-sum instead of scatters
     nbr, wmat, mask, kept = _dense_neighbors(n, src_h, tgt_h, w_h, cap=64)
     if kept >= 0.999:
+        # bucket (n -> power of two, K -> multiple of 8) so clouds of similar
+        # size share one compiled solver; pad vertices are isolated singleton
+        # regions with zero features/weight and are sliced away after densify
+        n_pad = 1 << max(int(np.ceil(np.log2(max(n, 1024)))), 10)
+        K = nbr.shape[1]
+        K_pad = -(-K // 8) * 8
+        if n_pad > n or K_pad > K:
+            f_p = np.zeros((n_pad, f.shape[1]), np.float32)
+            f_p[:n] = f
+            nbr_p = np.tile(
+                np.arange(n_pad, dtype=np.int32)[:, None], (1, K_pad)
+            )
+            nbr_p[:n, :K] = nbr
+            w_p = np.zeros((n_pad, K_pad), np.float32)
+            w_p[:n, :K] = wmat
+            m_p = np.zeros((n_pad, K_pad), bool)
+            m_p[:n, :K] = mask
+            nw_p = jnp.concatenate(
+                [nw, jnp.zeros(n_pad - n, jnp.float32)]
+            ) if n_pad > n else nw
+            f, nbr, wmat, mask, nw = f_p, nbr_p, w_p, m_p, nw_p
         comp, _ = _solve_dense(
             jnp.asarray(f), jnp.asarray(nbr), jnp.asarray(wmat),
             jnp.asarray(mask), nw, jnp.float32(reg_strength), **solver_kw,
         )
+        comp = comp[:n]
     else:
         src = jnp.asarray(src_h, jnp.int32)
         tgt = jnp.asarray(tgt_h, jnp.int32)

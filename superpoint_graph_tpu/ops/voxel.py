@@ -113,24 +113,39 @@ def voxel_prune(
 def prune(xyz, voxel_size, rgb, labels, objects, n_labels, n_objects):
     """Host-convenience wrapper with the reference `libply_c.prune` signature
     (ply_c.cpp:497-505): returns trimmed numpy (xyz f32, rgb u8, label_hist u32,
-    object_hist u32) in first-occurrence voxel order."""
+    object_hist u32) in first-occurrence voxel order.
+
+    The cloud is padded to a power-of-two bucket so differently-sized clouds
+    share one compiled executable: all pad points sit at one far coordinate,
+    forming exactly one trailing voxel (first-occurrence order puts it last)
+    that is sliced away."""
     xyz = np.ascontiguousarray(xyz, dtype=np.float32)
     n = xyz.shape[0]
     if labels is None or np.size(labels) == 0:
         labels = np.zeros((n,), np.int32)
     if objects is None or np.size(objects) == 0:
         objects = np.zeros((n,), np.int32)
+    rgb = np.asarray(rgb)
+    labels = np.asarray(labels).astype(np.int32)
+    objects = np.asarray(objects).astype(np.int32)
+    n_pad = 1 << max(int(np.ceil(np.log2(max(n, 1024)))), 10)
+    pad = n_pad - n
+    if pad:
+        xyz = np.concatenate([xyz, np.full((pad, 3), 1e8, np.float32)])
+        rgb = np.concatenate([rgb, np.zeros((pad, 3), rgb.dtype)])
+        labels = np.concatenate([labels, np.zeros(pad, np.int32)])
+        objects = np.concatenate([objects, np.zeros(pad, np.int32)])
     out = voxel_prune(
         jnp.asarray(xyz),
         float(voxel_size),
         jnp.asarray(rgb),
         jnp.asarray(labels, dtype=jnp.int32),
         jnp.asarray(objects, dtype=jnp.int32),
-        max_voxels=n,
+        max_voxels=n_pad,
         n_labels=int(n_labels),
         n_objects=int(n_objects),
     )
-    m = int(out["n_voxels"])
+    m = int(out["n_voxels"]) - (1 if pad else 0)
     pruned_xyz = np.asarray(out["xyz"])[:m]
     pruned_rgb = np.asarray(out["rgb"])[:m].astype(np.uint8)  # trunc like C++ cast
     label_hist = np.asarray(out["label_hist"])[:m].astype(np.uint32)

@@ -60,9 +60,14 @@ def partition_features(xyz: np.ndarray, cfg: PartitionConfig):
     feature kernel — only the small adjacency graph and the 4-channel features
     are fetched to host."""
     graph_nn, target_geof = compute_graph_nn_2(xyz, cfg.k_nn_adj, cfg.k_nn_geof)
-    geof = np.asarray(
-        geof_ops.compute_geof(jnp.asarray(xyz, jnp.float32), target_geof)
-    )
+    # bucket to a power of two so geof shares one executable across clouds
+    n = len(xyz)
+    n_pad = 1 << max(int(np.ceil(np.log2(max(n, 1024)))), 10)
+    xyz_d = jnp.asarray(xyz, jnp.float32)
+    if n_pad > n:
+        xyz_d = jnp.pad(xyz_d, ((0, n_pad - n), (0, 0)))
+        target_geof = jnp.pad(target_geof, ((0, n_pad - n), (0, 0)))
+    geof = np.asarray(geof_ops.compute_geof(xyz_d, target_geof)[:n])
     return graph_nn, geof
 
 

@@ -142,3 +142,24 @@ class TestTracing:
         monkeypatch.delenv("SPGT_TRACE_DIR", raising=False)
         with trace("x"):
             pass
+
+
+class TestDeterminism:
+    def test_superpoint_test_sampling_seeded(self, rng, tmp_path):
+        """Test-time superpoint sampling must be reproducible per (id, offset)
+        — the contract eval_final's multisample voting relies on
+        (reference spg.py:207 RandomState(id + test_seed_offset))."""
+        import h5py
+
+        from superpoint_graph_tpu.data.loader import LoaderConfig, load_superpoint
+
+        path = str(tmp_path / "parsed.h5")
+        with h5py.File(path, "w") as f:
+            f.create_dataset("3", data=rng.rand(500, 15).astype(np.float32))
+        cfg = LoaderConfig(ptn_minpts=5, ptn_npts=64)
+        with h5py.File(path, "r") as f:
+            a, da = load_superpoint(f, 3, cfg, train=False, test_seed_offset=2)
+            b, db = load_superpoint(f, 3, cfg, train=False, test_seed_offset=2)
+            c, _ = load_superpoint(f, 3, cfg, train=False, test_seed_offset=7)
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(a, c)  # different offset -> different sample
