@@ -159,8 +159,13 @@ def _parsed_path(root, name):
 
 
 def run_epoch(trainer, state, entries, names, root, loader_cfg, n_ch, dbinfo,
-              train, rng_np, rng_jax, batch_size, test_seed_offset=0):
-    """One pass over `entries`; returns (state, mean_loss, ConfusionMatrix)."""
+              train, rng_np, rng_jax, batch_size, test_seed_offset=0,
+              nworkers=0):
+    """One pass over `entries`; returns (state, mean_loss, ConfusionMatrix).
+
+    With nworkers > 0 the h5 loading + collation of the next batch overlaps
+    the device step of the current one (the reference's DataLoader workers,
+    main.py:180 — thread-based here since loading is h5py/numpy bound)."""
     import jax
 
     from ..data.loader import collate_spg, load_spg_sample
@@ -170,8 +175,8 @@ def run_epoch(trainer, state, entries, names, root, loader_cfg, n_ch, dbinfo,
     cm = ConfusionMatrix(dbinfo.classes)
     losses = []
     bs = batch_size if train else 1
-    for i in range(0, len(order), bs):
-        idx = order[i : i + bs]
+
+    def load_batch(idx):
         samples = []
         for j in idx:
             s = load_spg_sample(
@@ -181,8 +186,22 @@ def run_epoch(trainer, state, entries, names, root, loader_cfg, n_ch, dbinfo,
             if s is not None:
                 samples.append(s)
         if not samples:
+            return None
+        return collate_spg(samples, loader_cfg, dbinfo.classes, n_ch)
+
+    groups = [order[i : i + bs] for i in range(0, len(order), bs)]
+    if nworkers > 0:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=max(1, nworkers))
+        batch_iter = iter(pool.map(load_batch, groups))
+    else:
+        pool = None
+        batch_iter = (load_batch(g) for g in groups)
+
+    for batch in batch_iter:
+        if batch is None:
             continue
-        batch = collate_spg(samples, loader_cfg, dbinfo.classes, n_ch)
         if train:
             rng_jax, sub = jax.random.split(rng_jax)
             state, loss, logits = trainer.train_step(state, batch, sub)
@@ -193,6 +212,8 @@ def run_epoch(trainer, state, entries, names, root, loader_cfg, n_ch, dbinfo,
         tsize = np.asarray(batch.target_size)
         valid = np.asarray(batch.targets) != -100
         cm.count_predicted_batch(tsize[valid][:, 1:], pred[valid])
+    if pool is not None:
+        pool.shutdown()
     return state, (float(np.mean(losses)) if losses else 0.0), cm, rng_jax
 
 
@@ -300,6 +321,7 @@ def main(argv=None):
         state, tr_loss, tr_cm, rng_jax = run_epoch(
             trainer, state, trainlist, train_names, root, loader_cfg, n_ch,
             dbinfo, True, rng_np, rng_jax, args.batch_size,
+            nworkers=args.nworkers,
         )
         entry = {
             "epoch": epoch,

@@ -213,3 +213,43 @@ class TestCrfConfig:
         logits = model.apply(variables, batch, train=False)
         assert logits.shape == (40, 6)
         assert np.all(np.isfinite(np.asarray(logits)))
+
+
+class TestModelPaddingInvariance:
+    def test_eval_logits_invariant_to_padding(self, rng):
+        """Growing the padded capacities must not change valid nodes' logits
+        (eval mode) — the whole-model analogue of the reference's
+        edge_mem_limit shard-consistency test."""
+        model = SpgModel(
+            n_classes=6,
+            model_config="gru_2_0,f_6",
+            ptn_widths=((16, 32), (32, 16)),
+            ptn_widths_stn=((8, 16), (16, 8)),
+            fnet_widths=(13, 16, 16),
+        )
+        b1 = random_spg_batch(np.random.RandomState(4), n_sp=20, n_sp_pad=24,
+                              n_edges=50, n_edges_pad=64)
+        variables = model.init(jax.random.PRNGKey(0), b1, train=False)
+        out1 = np.asarray(model.apply(variables, b1, train=False))[:20]
+
+        # same real content, bigger padding
+        import jax.numpy as jnp
+
+        def grow(x, rows, fill=0):
+            pad = [(0, rows - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, pad, constant_values=fill)
+
+        b2 = b1.replace(
+            clouds=grow(b1.clouds, 40),
+            clouds_global=grow(b1.clouds_global, 40),
+            cloud_mask=grow(b1.cloud_mask, 40),
+            node_mask=grow(b1.node_mask, 40),
+            targets=grow(b1.targets, 40, fill=-100),
+            target_size=grow(b1.target_size, 40),
+            src=grow(b1.src, 96),
+            tgt=grow(b1.tgt, 96),
+            edge_feats=grow(b1.edge_feats, 96),
+            edge_mask=grow(b1.edge_mask, 96),
+        )
+        out2 = np.asarray(model.apply(variables, b2, train=False))[:20]
+        np.testing.assert_allclose(out1, out2, rtol=1e-5, atol=1e-5)
