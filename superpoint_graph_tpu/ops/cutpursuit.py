@@ -83,6 +83,92 @@ def _energy(f, nw, in_comp, src, tgt, w, reg):
     return fid + reg * float(np.sum(w[cross])), mean
 
 
+def merge_regions(
+    f: np.ndarray,
+    nw: np.ndarray,
+    in_comp: np.ndarray,
+    src: np.ndarray,
+    tgt: np.ndarray,
+    w: np.ndarray,
+    reg: float,
+    max_rounds: int = 10,
+):
+    """Backward (merge) step of cut pursuit: greedily merge adjacent regions
+    whenever it lowers the energy (the paper's backward step; the forward
+    split loop alone over-fragments).
+
+    Closed form via sufficient statistics: with weighted sums S_C and masses
+    m_C, fid(C) = sum nw||f||^2 - ||S_C||^2/m_C, so merging A,B changes the
+    energy by  d = (||S_A||^2/m_A + ||S_B||^2/m_B - ||S_AB||^2/m_AB)
+               - reg * w_AB.  Merge when d < 0. Each round every region picks
+    its best partner and beneficial pairs are united (union-find), so chains
+    resolve across rounds. Fully vectorized over superedges.
+    """
+    in_comp = np.asarray(in_comp, np.int64).copy()
+    f = np.asarray(f, np.float64)
+    if f.ndim == 1:
+        f = f[:, None]
+    nw = np.asarray(nw, np.float64)
+    src = np.asarray(src, np.int64)
+    tgt = np.asarray(tgt, np.int64)
+    w = np.asarray(w, np.float64)
+
+    for _ in range(max_rounds):
+        n_comp = in_comp.max() + 1
+        S = np.zeros((n_comp, f.shape[1]))
+        np.add.at(S, in_comp, f * nw[:, None])
+        m = np.zeros(n_comp)
+        np.add.at(m, in_comp, nw)
+        m = np.maximum(m, 1e-12)
+
+        ca, cb = in_comp[src], in_comp[tgt]
+        cross = ca != cb
+        if not cross.any():
+            break
+        lo = np.minimum(ca[cross], cb[cross])
+        hi = np.maximum(ca[cross], cb[cross])
+        key = lo * n_comp + hi
+        uniq, inv = np.unique(key, return_inverse=True)
+        w_pair = np.zeros(len(uniq))
+        np.add.at(w_pair, inv, w[cross])
+        A = (uniq // n_comp).astype(np.int64)
+        B = (uniq % n_comp).astype(np.int64)
+        sa = np.einsum("pd,pd->p", S[A], S[A]) / m[A]
+        sb = np.einsum("pd,pd->p", S[B], S[B]) / m[B]
+        sab = np.einsum("pd,pd->p", S[A] + S[B], S[A] + S[B]) / (m[A] + m[B])
+        delta = (sa + sb - sab) - reg * w_pair
+        good = delta < -1e-12
+        if not good.any():
+            break
+        # each region's best (most negative) candidate pair
+        order = np.argsort(delta[good])
+        Ag, Bg = A[good][order], B[good][order]
+        parent = np.arange(n_comp)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        used = np.zeros(n_comp, bool)
+        for a, b in zip(Ag, Bg):
+            # merge only untouched regions this round — the closed-form gains
+            # of chained merges are stale; later rounds pick them up
+            if used[a] or used[b]:
+                continue
+            parent[max(a, b)] = min(a, b)
+            used[a] = used[b] = True
+        roots = np.array([find(c) for c in range(n_comp)])
+        _, new = np.unique(roots, return_inverse=True)
+        in_comp = new[in_comp]
+
+    # densify in first-occurrence order
+    _, first_pos, inv = np.unique(in_comp, return_index=True, return_inverse=True)
+    order = np.argsort(np.argsort(first_pos))
+    return order[inv].astype(np.int32)
+
+
 def cutpursuit(
     features: np.ndarray,
     source: np.ndarray,
@@ -186,6 +272,9 @@ def cutpursuit(
             in_comp, mean, energy, saturated = new_in_comp, new_mean, new_energy, sat_new
         else:
             break
+
+    # backward step: merge adjacent regions whenever it lowers the energy
+    in_comp = merge_regions(f, nw, in_comp, src, tgt, w, reg).astype(np.int64)
 
     if cutoff > 0:
         # fuse regions smaller than cutoff into an adjacent region (absorb into

@@ -455,6 +455,15 @@ def cutpursuit_tpu(
     order = np.argsort(np.argsort(first_pos))
     in_comp = order[inv]
 
+    # backward step: merge adjacent regions whenever it lowers the energy
+    # (host closed-form over region sufficient statistics, cutpursuit.py)
+    from .cutpursuit import merge_regions
+
+    in_comp = merge_regions(
+        f[:n], np.asarray(nw)[:n], in_comp, src_h, tgt_h, w_h,
+        float(reg_strength),
+    )
+
     if cutoff > 0:
         src_h = np.asarray(source, np.int64)
         tgt_h = np.asarray(target, np.int64)

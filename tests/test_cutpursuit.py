@@ -131,3 +131,34 @@ class TestConnectedComponents:
         for c in range(host.max() + 1):
             assert len(np.unique(roots[host == c])) == 1
         assert len(np.unique(roots)) == host.max() + 1
+
+
+class TestMergeRegions:
+    def test_merge_lowers_energy(self, rng):
+        """Over-fragmented partitions must merge back; energy never rises."""
+        from superpoint_graph_tpu.ops.cutpursuit import merge_regions
+
+        h, w = 8, 12
+        src, tgt = grid_graph(h, w)
+        ew = np.ones(len(src))
+        f = rng.randn(h * w, 3).astype(np.float32) * 0.05  # near-constant field
+        # fragment artificially into 8 column bands
+        frag = ((np.arange(h * w).reshape(h, w) % w) // 2).ravel().astype(np.int64)
+        reg = 0.5
+        e_before = partition_energy(f, frag, src, tgt, ew, reg)
+        merged = merge_regions(f, np.ones(h * w), frag, src, tgt, ew, reg)
+        e_after = partition_energy(f, merged, src, tgt, ew, reg)
+        assert e_after < e_before
+        assert merged.max() < frag.max()  # actually merged something
+
+    def test_no_merge_when_separated(self, rng):
+        from superpoint_graph_tpu.ops.cutpursuit import merge_regions
+
+        h, w = 6, 8
+        src, tgt = grid_graph(h, w)
+        f = np.zeros((h * w, 2), np.float32)
+        gt = (np.arange(h * w).reshape(h, w) % w >= w // 2).ravel()
+        f[gt] = [5.0, 5.0]  # huge separation
+        merged = merge_regions(f, np.ones(h * w), gt.astype(np.int64),
+                               src, tgt, np.ones(len(src)), 0.1)
+        assert merged.max() == 1  # both regions survive
