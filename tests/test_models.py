@@ -253,3 +253,43 @@ class TestModelPaddingInvariance:
         )
         out2 = np.asarray(model.apply(variables, b2, train=False))[:20]
         np.testing.assert_allclose(out1, out2, rtol=1e-5, atol=1e-5)
+
+
+class TestMoreConfigs:
+    def test_lstm_and_bn_dropout_tokens(self, rng):
+        batch = random_spg_batch(rng)
+        model = SpgModel(
+            n_classes=6,
+            model_config="lstm_2,b,r,d_0.3,f_6",
+            ptn_widths=((16, 32), (32, 16)),
+            ptn_widths_stn=((8, 16), (16, 8)),
+            fnet_widths=(13, 16, 16),
+        )
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        logits = model.apply(variables, batch, train=False)
+        assert logits.shape == (40, 6)
+        assert np.all(np.isfinite(np.asarray(logits)))
+        # train mode with dropout rng
+        out, _ = model.apply(variables, batch, train=True,
+                             mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(1)})
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_sgd_momentum_trains(self, rng):
+        from superpoint_graph_tpu.learn.train import Trainer
+
+        batch = random_spg_batch(rng)
+        model = SpgModel(
+            n_classes=6, model_config="gru_2,f_6",
+            ptn_widths=((16, 32), (32, 16)),
+            ptn_widths_stn=((8, 16), (16, 8)),
+            fnet_widths=(13, 16, 16),
+        )
+        trainer = Trainer(model, optim="sgd", lr=1e-2, momentum=0.9,
+                          wd=1e-4, checkpoint_ptn=False)
+        state = trainer.init(jax.random.PRNGKey(0), batch)
+        l0 = None
+        for i in range(8):
+            state, loss, _ = trainer.train_step(state, batch, jax.random.PRNGKey(i))
+            l0 = l0 or float(loss)
+        assert float(loss) < l0
