@@ -355,8 +355,14 @@ def _dense_neighbors(n, source, target, weight, cap=None):
     b = np.concatenate([hi, lo])
     ww = np.concatenate([w, w])
     deg = np.bincount(a, minlength=n)
-    K = int(deg.max()) if cap is None else min(int(deg.max()), cap)
-    order = np.lexsort((-ww, a))  # per-vertex, heaviest first
+    max_deg = int(deg.max())
+    K = max_deg if cap is None else min(max_deg, cap)
+    if cap is None or max_deg <= cap:
+        # cap doesn't bind: plain stable sort by vertex (2x faster than the
+        # heaviest-first lexsort, which only matters when edges get dropped)
+        order = np.argsort(a, kind="stable")
+    else:
+        order = np.lexsort((-ww, a))  # per-vertex, heaviest first
     a, b, ww = a[order], b[order], ww[order]
     starts = np.zeros(n + 1, np.int64)
     np.cumsum(deg, out=starts[1:])
