@@ -11,4 +11,14 @@ Module map (reference parity targets in parentheses):
   cutpursuit  — l0 cut-pursuit solver (libcp.cutpursuit / cutpursuit2)
   segment     — masked segment reductions shared by the GNN and SPG builder
 """
-from . import eigen3, geof, knn, voxel  # noqa: F401
+from . import (  # noqa: F401
+    components,
+    cutpursuit,
+    cutpursuit_jax,
+    eigen3,
+    geof,
+    knn,
+    segment,
+    subgraph,
+    voxel,
+)
