@@ -113,26 +113,40 @@ def merge_regions(
     tgt = np.asarray(tgt, np.int64)
     w = np.asarray(w, np.float64)
 
-    for _ in range(max_rounds):
-        n_comp = in_comp.max() + 1
-        S = np.zeros((n_comp, f.shape[1]))
-        np.add.at(S, in_comp, f * nw[:, None])
-        m = np.zeros(n_comp)
-        np.add.at(m, in_comp, nw)
-        m = np.maximum(m, 1e-12)
+    # region sufficient statistics + pair weights — the full edge array is
+    # touched ONCE; later rounds operate at the (much smaller) region level
+    n_comp = int(in_comp.max()) + 1
+    S = np.zeros((n_comp, f.shape[1]))
+    np.add.at(S, in_comp, f * nw[:, None])
+    m = np.zeros(n_comp)
+    np.add.at(m, in_comp, nw)
+    m = np.maximum(m, 1e-12)
+    ca, cb = in_comp[src], in_comp[tgt]
+    cross = ca != cb
+    if not cross.any():
+        return _densify_first_occurrence(in_comp)
+    lo0 = np.minimum(ca[cross], cb[cross])
+    hi0 = np.maximum(ca[cross], cb[cross])
+    key0, inv0 = np.unique(lo0 * n_comp + hi0, return_inverse=True)
+    pair_w = np.zeros(len(key0))
+    np.add.at(pair_w, inv0, w[cross])
+    pair_a = (key0 // n_comp).astype(np.int64)
+    pair_b = (key0 % n_comp).astype(np.int64)
+    label = np.arange(n_comp)  # current region label per original region
 
-        ca, cb = in_comp[src], in_comp[tgt]
-        cross = ca != cb
-        if not cross.any():
+    for _ in range(max_rounds):
+        A = label[pair_a]
+        B = label[pair_b]
+        live = A != B
+        if not live.any():
             break
-        lo = np.minimum(ca[cross], cb[cross])
-        hi = np.maximum(ca[cross], cb[cross])
-        key = lo * n_comp + hi
-        uniq, inv = np.unique(key, return_inverse=True)
-        w_pair = np.zeros(len(uniq))
-        np.add.at(w_pair, inv, w[cross])
-        A = (uniq // n_comp).astype(np.int64)
-        B = (uniq % n_comp).astype(np.int64)
+        loA = np.minimum(A[live], B[live])
+        hiB = np.maximum(A[live], B[live])
+        key, inv = np.unique(loA * n_comp + hiB, return_inverse=True)
+        w_pair = np.zeros(len(key))
+        np.add.at(w_pair, inv, pair_w[live])
+        A = (key // n_comp).astype(np.int64)
+        B = (key % n_comp).astype(np.int64)
         sa = np.einsum("pd,pd->p", S[A], S[A]) / m[A]
         sb = np.einsum("pd,pd->p", S[B], S[B]) / m[B]
         sab = np.einsum("pd,pd->p", S[A] + S[B], S[A] + S[B]) / (m[A] + m[B])
@@ -140,31 +154,29 @@ def merge_regions(
         good = delta < -1e-12
         if not good.any():
             break
-        # each region's best (most negative) candidate pair
         order = np.argsort(delta[good])
         Ag, Bg = A[good][order], B[good][order]
-        parent = np.arange(n_comp)
-
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
         used = np.zeros(n_comp, bool)
+        changed = False
         for a, b in zip(Ag, Bg):
             # merge only untouched regions this round — the closed-form gains
             # of chained merges are stale; later rounds pick them up
             if used[a] or used[b]:
                 continue
-            parent[max(a, b)] = min(a, b)
+            keep, gone = min(a, b), max(a, b)
+            label[label == gone] = keep
+            S[keep] += S[gone]
+            m[keep] += m[gone]
             used[a] = used[b] = True
-        roots = np.array([find(c) for c in range(n_comp)])
-        _, new = np.unique(roots, return_inverse=True)
-        in_comp = new[in_comp]
+            changed = True
+        if not changed:
+            break
 
-    # densify in first-occurrence order
-    _, first_pos, inv = np.unique(in_comp, return_index=True, return_inverse=True)
+    return _densify_first_occurrence(label[in_comp])
+
+
+def _densify_first_occurrence(labels: np.ndarray) -> np.ndarray:
+    _, first_pos, inv = np.unique(labels, return_index=True, return_inverse=True)
     order = np.argsort(np.argsort(first_pos))
     return order[inv].astype(np.int32)
 
