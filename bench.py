@@ -45,15 +45,17 @@ N_POINTS = 60000
 N_REPEATS = 3
 
 
-def tpu_partition_time(xyz, rgb, cfg):
-    from superpoint_graph_tpu.pipeline import partition_cloud
+def tpu_partition_time(clouds, cfg):
+    """Mean per-cloud time over N distinct clouds, processed through the
+    2-stage software pipeline (features of cloud i+1 overlap the cut-pursuit
+    host work of cloud i)."""
+    from superpoint_graph_tpu.pipeline import partition_cloud, partition_clouds
 
-    # warmup/compile
-    partition_cloud(xyz, rgb, None, None, n_labels=0, cfg=cfg)
+    xyz0, rgb0 = clouds[0]
+    partition_cloud(xyz0, rgb0, None, None, n_labels=0, cfg=cfg)  # warm compile
     t0 = time.perf_counter()
-    for _ in range(N_REPEATS):
-        partition_cloud(xyz, rgb, None, None, n_labels=0, cfg=cfg)
-    return (time.perf_counter() - t0) / N_REPEATS
+    partition_clouds([(x, r, None, None) for x, r in clouds], cfg)
+    return (time.perf_counter() - t0) / len(clouds)
 
 
 def host_partition_time(xyz, rgb, cfg):
@@ -106,7 +108,10 @@ def main():
     from superpoint_graph_tpu.pipeline import PartitionConfig
 
     rng = np.random.RandomState(0)
-    xyz, rgb, _, _ = synthetic_room(rng, n_points=N_POINTS, noise=0.008)
+    clouds = []
+    for _ in range(N_REPEATS + 1):
+        xyz, rgb, _, _ = synthetic_room(rng, n_points=N_POINTS, noise=0.008)
+        clouds.append((xyz, rgb))
     cfg = PartitionConfig(
         voxel_width=0.0,  # bench the dense path; prune is measured implicitly
         k_nn_geof=45,
@@ -116,11 +121,11 @@ def main():
         spg_adjacency="knn",
     )
 
-    t_tpu = tpu_partition_time(xyz, rgb, cfg)
+    t_tpu = tpu_partition_time(clouds, cfg)
     mpts = N_POINTS / t_tpu / 1e6
 
     try:
-        t_host = host_partition_time(xyz, rgb, cfg)
+        t_host = host_partition_time(clouds[0][0], clouds[0][1], cfg)
         vs = t_host / t_tpu
     except Exception:
         vs = float("nan")

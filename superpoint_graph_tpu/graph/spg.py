@@ -24,7 +24,6 @@ from scipy.spatial import Delaunay
 
 import jax.numpy as jnp
 
-from ..ops.eigen3 import eigh3x3
 
 
 def _delaunay_cross_edges(xyz: np.ndarray, in_component: np.ndarray) -> np.ndarray:
@@ -92,7 +91,10 @@ def _component_stats(xyz, in_component, n_com):
     np.add.at(cov, uc, outer)
     cov /= np.maximum(cnt - 1, 1)[:, None, None]  # ddof=1 like np.cov
 
-    lams = np.asarray(eigh3x3(jnp.asarray(cov, jnp.float32))[0]).astype(np.float64)
+    # host LAPACK: n_com is small (hundreds) and the shape changes per cloud —
+    # an eager device eigendecomposition would recompile its op chain per
+    # distinct n_com (tens of seconds over a tunneled chip)
+    lams = np.linalg.eigvalsh(cov)[:, ::-1]
     lams = np.maximum(lams, 0.0)
 
     length = lams[:, 0]

@@ -64,8 +64,8 @@ def _solve(
     tgt_perm=None,
     *,
     max_iter: int = 8,
-    icm_sweeps: int = 4,
-    flow_steps: int = 3,
+    icm_sweeps: int = 3,
+    flow_steps: int = 2,
     power_iters: int = 8,
     cc_iters: int = 48,
     sorted_reductions: bool = False,
@@ -223,8 +223,8 @@ def _solve_dense(
     reg,
     *,
     max_iter: int = 8,
-    icm_sweeps: int = 4,
-    flow_steps: int = 3,
+    icm_sweeps: int = 3,
+    flow_steps: int = 2,
     power_iters: int = 8,
     cc_iters: int = 48,
 ):
@@ -253,14 +253,35 @@ def _solve_dense(
         return mean
 
     def cc_pass(lab, same_nbr):
-        # same_nbr: [n, K] bool — neighbor in same (comp, b) region
+        # same_nbr: [n, K] bool — neighbor in same (comp, b) region.
+        # Unrolled 12-sweep blocks inside a short convergence-checked loop:
+        # typical graphs converge in 1-2 blocks; the worst case still gets
+        # cc_iters sweeps.
         big = jnp.int32(2147483647)
-        for _ in range(cc_iters):
-            cand = jnp.where(same_nbr, lab[nbr], big)
-            lab = jnp.minimum(lab, jnp.min(cand, axis=1))
-            lab = jnp.minimum(lab, lab[lab])
-            lab = jnp.minimum(lab, lab[lab])
-            lab = jnp.minimum(lab, lab[lab])
+
+        def block(lab):
+            for _ in range(12):
+                cand = jnp.where(same_nbr, lab[nbr], big)
+                lab = jnp.minimum(lab, jnp.min(cand, axis=1))
+                lab = jnp.minimum(lab, lab[lab])
+                lab = jnp.minimum(lab, lab[lab])
+                lab = jnp.minimum(lab, lab[lab])
+            return lab
+
+        n_blocks = max(1, -(-cc_iters // 12))
+
+        def cond(state):
+            lab, changed, i = state
+            return changed & (i < n_blocks)
+
+        def body(state):
+            lab, _, i = state
+            new = block(lab)
+            return new, jnp.any(new != lab), i + 1
+
+        lab, _, _ = jax.lax.while_loop(
+            cond, body, (block(lab), jnp.bool_(True), jnp.int32(1))
+        )
         return lab
 
     def split_once(comp, saturated, mean):
@@ -419,12 +440,15 @@ def cutpursuit_tpu(
     # gather + row-sum instead of scatters
     nbr, wmat, mask, kept = _dense_neighbors(n, src_h, tgt_h, w_h, cap=64)
     if kept >= 0.999:
-        # bucket (n -> power of two, K -> multiple of 8) so clouds of similar
-        # size share one compiled solver; pad vertices are isolated singleton
-        # regions with zero features/weight and are sliced away after densify
+        # bucket (n -> power of two, K -> multiple of 16 with a floor of 32)
+        # so clouds of similar size AND similar max degree share one compiled
+        # solver (the max in-degree jitters by a few between clouds — without
+        # the coarse K bucket every cloud would recompile); pad vertices are
+        # isolated singleton regions with zero features/weight, sliced away
+        # after densify
         n_pad = 1 << max(int(np.ceil(np.log2(max(n, 1024)))), 10)
         K = nbr.shape[1]
-        K_pad = -(-K // 8) * 8
+        K_pad = max(32, -(-K // 16) * 16)
         if n_pad > n or K_pad > K:
             f_p = np.zeros((n_pad, f.shape[1]), np.float32)
             f_p[:n] = f

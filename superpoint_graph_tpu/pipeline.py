@@ -156,3 +156,86 @@ def partition_cloud(
         graph_sp=graph_sp,
         times=times,
     )
+
+
+def partition_clouds(
+    clouds,
+    cfg: PartitionConfig = PartitionConfig(),
+    n_labels: int = 0,
+):
+    """Partition a sequence of clouds with a 2-stage software pipeline: the
+    (device-heavy) feature stage of cloud i+1 overlaps the (host-heavy)
+    cut-pursuit post-processing and SPG build of cloud i. The reference
+    processes files strictly serially (partition.py:57-113).
+
+    `clouds` yields (xyz, rgb, labels, objects) tuples; returns a list of
+    PartitionResult.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    clouds = list(clouds)
+    results = []
+
+    def stage_a(args):
+        xyz, rgb, labels, objects = args
+        if cfg.voxel_width > 0:
+            n_obj = (
+                int(objects.max()) + 1
+                if objects is not None and np.size(objects)
+                else 0
+            )
+            xyz, rgb, labels, _ = voxel.prune(
+                xyz, cfg.voxel_width,
+                rgb if rgb is not None else np.zeros((len(xyz), 3), np.uint8),
+                labels, objects, n_labels, n_obj,
+            )
+        graph_nn, geof = partition_features(np.asarray(xyz, np.float32), cfg)
+        return xyz, rgb, labels, graph_nn, geof
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(stage_a, clouds[0])
+        for i in range(len(clouds)):
+            xyz, rgb, labels, graph_nn, geof = fut.result()
+            if i + 1 < len(clouds):
+                fut = pool.submit(stage_a, clouds[i + 1])
+            t0 = time.perf_counter()
+            features = assemble_partition_features(geof, rgb, cfg)
+            w = edge_weights(graph_nn["distances"], cfg.lambda_edge_weight)
+            solver = (
+                cutpursuit_exact if cfg.cp_backend == "exact" else cutpursuit_tpu
+            )
+            components, in_component = solver(
+                features, graph_nn["source"], graph_nn["target"], w,
+                cfg.reg_strength, cutoff=cfg.cp_cutoff,
+            )
+            t_part = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            graph_sp = compute_sp_graph(
+                xyz, cfg.d_se_max, in_component, components, labels, n_labels,
+                adjacency=cfg.spg_adjacency,
+                knn_edges=(
+                    (graph_nn["source"], graph_nn["target"])
+                    if cfg.spg_adjacency == "knn"
+                    else None
+                ),
+            )
+            results.append(
+                PartitionResult(
+                    xyz=np.asarray(xyz),
+                    rgb=np.asarray(rgb)
+                    if rgb is not None
+                    else np.zeros((len(xyz), 3), np.uint8),
+                    labels=np.asarray(labels) if labels is not None else np.zeros(0),
+                    geof=geof,
+                    graph_nn=graph_nn,
+                    components=components,
+                    in_component=in_component,
+                    graph_sp=graph_sp,
+                    times={
+                        "features": 0.0,  # overlapped with the previous cloud
+                        "partition": t_part,
+                        "spg": time.perf_counter() - t0,
+                    },
+                )
+            )
+    return results
