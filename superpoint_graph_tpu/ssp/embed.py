@@ -119,6 +119,12 @@ class SspTrainer:
         txs.append(optax.inject_hyperparams(optax.adam)(learning_rate=lr))
         self.tx = optax.chain(*txs)
         self._emb_grad = jax.jit(self._emb_grad_fn)
+        self._embed_jit = jax.jit(
+            lambda params, batch_stats, clouds, glob: self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                clouds, glob, None, train=False,
+            )
+        )
 
     def init(self, rng, clouds, clouds_global, mask=None):
         variables = self.model.init(rng, clouds, clouds_global, mask, train=False)
@@ -182,9 +188,9 @@ class SspTrainer:
         return new_state, float(loss), pred_comp, pred_in_comp
 
     def embed(self, state, clouds, clouds_global, train=False):
-        return self.model.apply(
-            {"params": state["params"], "batch_stats": state["batch_stats"]},
-            jnp.asarray(clouds), jnp.asarray(clouds_global), None, train=False,
+        return self._embed_jit(
+            state["params"], state["batch_stats"],
+            jnp.asarray(clouds), jnp.asarray(clouds_global),
         )
 
     def embed_chunked(self, state, clouds, clouds_global, chunk: int = 65536):
