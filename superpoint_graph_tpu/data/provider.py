@@ -60,8 +60,13 @@ def _nn1(xyz_db: np.ndarray, xyz_q: np.ndarray) -> np.ndarray:
         return jnp.argmin(d2, axis=1)
 
     for i in range(0, len(xyz_q), block):
-        q = jnp.asarray(xyz_q[i : i + block], jnp.float32)
-        out.append(np.asarray(_argmin(q)))
+        chunk = np.asarray(xyz_q[i : i + block], np.float32)
+        m = len(chunk)
+        if m < block:  # fixed block shape: avoid a recompile per chunk size
+            chunk = np.concatenate(
+                [chunk, np.zeros((block - m, 3), np.float32)]
+            )
+        out.append(np.asarray(_argmin(jnp.asarray(chunk)))[:m])
     return np.concatenate(out) if out else np.zeros(0, np.int64)
 
 

@@ -104,9 +104,11 @@ def nn1(db: np.ndarray, queries: np.ndarray, block_q: int = 512,
     if m == 0 or n == 0:
         return np.zeros(0, np.int64)
     interpret = jax.default_backend() != "tpu"
-    # pad db with far points to a tile multiple, queries to a block multiple
-    m_pad = -(-m // tile) * tile
-    n_pad = -(-n // block_q) * block_q
+    # pad db with far points and queries to POWER-OF-TWO buckets (>= one
+    # tile/block): the grid shape is baked into the executable, so exact-size
+    # padding would recompile for every distinct cloud/object size
+    m_pad = 1 << max(int(np.ceil(np.log2(max(m, tile)))), 0)
+    n_pad = 1 << max(int(np.ceil(np.log2(max(n, block_q)))), 0)
     if m_pad > m:
         far = np.full((m_pad - m, 3), 1e17, np.float32)
         db = np.concatenate([db, far])
