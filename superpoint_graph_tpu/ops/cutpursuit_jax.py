@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .components import connected_components, connected_components_jax
+from .components import connected_components
 
 
 def _seg_mean(data, seg, n, weights=None, mask=None):

@@ -8,7 +8,6 @@ Batch leaves carry a leading device axis: [n_dev, per_dev_capacity, ...].
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

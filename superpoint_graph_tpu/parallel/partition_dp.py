@@ -14,7 +14,6 @@ sharding it via halo-exchanged neighbor matrices is the roadmap follow-up.
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
