@@ -144,3 +144,30 @@ class TestEndToEnd:
         assert np.isfinite(float(eloss))
         pred = np.asarray(elogits).argmax(1)
         assert pred.shape[0] == ebatch.clouds.shape[0]
+
+
+class TestPartitionClouds:
+    def test_pipelined_matches_serial(self, rng):
+        """partition_clouds (2-stage pipeline) must produce the same
+        partitions as per-cloud partition_cloud calls."""
+        from superpoint_graph_tpu.data.synthetic import synthetic_room
+        from superpoint_graph_tpu.pipeline import (
+            PartitionConfig,
+            partition_cloud,
+            partition_clouds,
+        )
+
+        cfg = PartitionConfig(
+            voxel_width=0.07, reg_strength=0.05, k_nn_geof=15, k_nn_adj=5,
+            cp_backend="tpu", spg_adjacency="knn",
+        )
+        clouds = []
+        for i in range(2):
+            xyz, rgb, _, _ = synthetic_room(np.random.RandomState(40 + i), n_points=4000)
+            clouds.append((xyz, rgb, None, None))
+        rs = partition_clouds(clouds, cfg)
+        assert len(rs) == 2
+        for c, r in zip(clouds, rs):
+            r1 = partition_cloud(*c, n_labels=0, cfg=cfg)
+            np.testing.assert_array_equal(r.in_component, r1.in_component)
+            assert len(r.components) == len(r1.components)

@@ -98,3 +98,18 @@ class TestShardedPartitionFeatures:
         np.testing.assert_allclose(
             geof_sh[same], geof_1[same], rtol=5e-2, atol=5e-2
         )
+
+
+class TestKnnVsDb:
+    def test_matches_self_knn(self, rng):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from superpoint_graph_tpu.ops.knn import knn, knn_vs_db
+
+        xyz = rng.rand(512, 3).astype(np.float32)
+        i1, d1 = knn(jnp.asarray(xyz), 6, block_q=128, block_db=512)
+        i2, d2 = knn_vs_db(
+            jnp.asarray(xyz), jnp.asarray(xyz), 6, self_offset=0, block_q=128
+        )
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-4, atol=1e-6)
