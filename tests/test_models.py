@@ -293,3 +293,39 @@ class TestMoreConfigs:
             state, loss, _ = trainer.train_step(state, batch, jax.random.PRNGKey(i))
             l0 = l0 or float(loss)
         assert float(loss) < l0
+
+
+class TestEccGradcheck:
+    def test_finite_difference_gradient(self, rng):
+        """float64 finite-difference gradcheck of ecc_conv — the reference's
+        core op test (test_GraphConvModule.py:23-57), with autodiff instead of
+        a hand-written backward."""
+        import jax
+
+        with jax.enable_x64(True):
+            n, e, c = 6, 14, 4
+            h = jnp.asarray(rng.randn(n, c))
+            w = jnp.asarray(rng.randn(e, c))
+            src = jnp.asarray(rng.randint(0, n, e))
+            tgt = jnp.asarray(rng.randint(0, n, e))
+            mask = jnp.asarray(rng.rand(e) > 0.2)
+            cot = jnp.asarray(rng.randn(n, c))
+
+            def loss_h(hh):
+                return jnp.sum(ecc_conv(hh, w, src, tgt, mask, n) * cot)
+
+            def loss_w(ww):
+                return jnp.sum(ecc_conv(h, ww, src, tgt, mask, n) * cot)
+
+            for fn, x in ((loss_h, h), (loss_w, w)):
+                g = jax.grad(fn)(x)
+                eps = 1e-6
+                flat = np.asarray(x).ravel()
+                for idx in rng.choice(flat.size, 10, replace=False):
+                    d = np.zeros_like(flat)
+                    d[idx] = eps
+                    dd = jnp.asarray(d.reshape(np.asarray(x).shape))
+                    num = (float(fn(x + dd)) - float(fn(x - dd))) / (2 * eps)
+                    np.testing.assert_allclose(
+                        num, float(np.asarray(g).ravel()[idx]), rtol=1e-5, atol=1e-7
+                    )
