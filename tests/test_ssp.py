@@ -181,3 +181,34 @@ class TestEmbedTraining:
         assert agg["n_sp"] >= 1
         import os
         assert os.path.exists(spg_path)
+
+
+class TestEmbedVariants:
+    def test_chunked_matches_unchunked(self, rng):
+        mcfg = SspModelConfig(
+            ptn_widths=((16, 32), (18, 16, 4)),
+            ptn_widths_stn=((8, 16), (16, 8)),
+        )
+        trainer = SspTrainer(mcfg, SspLossConfig())
+        clouds = rng.randn(300, 20, 6).astype(np.float32)
+        glob = rng.rand(300, mcfg.nfeat_global - 4).astype(np.float32)
+        state = trainer.init(jax.random.PRNGKey(0), jnp.asarray(clouds),
+                             jnp.asarray(glob))
+        full = np.asarray(trainer.embed(state, clouds, glob))
+        chunked = trainer.embed_chunked(state, clouds, glob, chunk=128)
+        np.testing.assert_allclose(full, chunked, rtol=2e-4, atol=2e-5)
+
+    def test_layer_norm_model(self, rng):
+        mcfg = SspModelConfig(
+            ptn_widths=((16, 32), (18, 16, 4)),
+            ptn_widths_stn=((8, 16), (16, 8)),
+            ptn_norm="layer",
+        )
+        trainer = SspTrainer(mcfg, SspLossConfig())
+        clouds = rng.randn(50, 20, 6).astype(np.float32)
+        glob = rng.rand(50, mcfg.nfeat_global - 4).astype(np.float32)
+        state = trainer.init(jax.random.PRNGKey(0), jnp.asarray(clouds),
+                             jnp.asarray(glob))
+        emb = np.asarray(trainer.embed(state, clouds, glob))
+        assert np.all(np.isfinite(emb))
+        np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-4)
