@@ -55,7 +55,9 @@ def files_in_folder(root, folder, dataset):
     if dataset == "vkitti":
         return sorted(glob.glob(os.path.join(data, "*.npy")))
     return sorted(
-        glob.glob(os.path.join(data, "*.ply")) + glob.glob(os.path.join(data, "*.las"))
+        glob.glob(os.path.join(data, "*.ply"))
+        + glob.glob(os.path.join(data, "*.las"))
+        + glob.glob(os.path.join(data, "*.pcd"))
     )
 
 
@@ -123,6 +125,16 @@ def main(argv=None):
             elif args.dataset == "vkitti":
                 xyz, rgb, labels = provider.read_vkitti_format(data_file)
                 objects = None
+            elif data_file.endswith(".pcd"):
+                xyz, labels = provider.read_pcd(data_file)
+                if labels.size == 0:
+                    labels = None
+                rgb = np.zeros((len(xyz), 3), np.uint8)
+                objects = None
+            elif data_file.endswith(".las"):
+                xyz = provider.read_las(data_file)
+                rgb = np.zeros((len(xyz), 3), np.uint8)
+                labels = objects = None
             else:
                 xyz, rgb, labels = provider.read_ply(data_file)
                 objects = None

@@ -279,7 +279,35 @@ def main(argv=None):
     test_names = [e[4] for e in testlist]
     valid_names = [e[4] for e in validlist]
 
-    model, trainer, loader_cfg, n_ch = build(args, dbinfo)
+    # Resolve the resume checkpoint path up-front: the model must be rebuilt
+    # from the checkpoint's *own* saved args so architecture flags cannot
+    # drift (reference main.py:390-412 resume(): "use original arguments,
+    # architecture can't change"). Unlike the reference we also restore
+    # model_config from the checkpoint — its current-args override is a
+    # self-described legacy hack ("should be removed once new models are
+    # uploaded"). Optimizer / run-control settings stay on the current args.
+    resume_path = ""
+    if args.resume:
+        resume_path = args.resume
+        if not os.path.isfile(resume_path):
+            resume_path = os.path.join(args.odir, "model.ckpt")
+    if resume_path:
+        from ..learn.checkpoint import read_checkpoint_args
+
+        ckpt_args = read_checkpoint_args(resume_path)
+        build_args = argparse.Namespace(**vars(args))
+        for key in (
+            "model_config",
+            "fnet_widths", "fnet_llbias", "fnet_orthoinit", "fnet_bnidx",
+            "ptn_widths", "ptn_widths_stn", "ptn_nfeat_stn", "ptn_prelast_do",
+            "pc_attribs",
+        ):
+            if key in ckpt_args:
+                setattr(build_args, key, ckpt_args[key])
+    else:
+        build_args = args
+
+    model, trainer, loader_cfg, n_ch = build(build_args, dbinfo)
     rng_np = np.random.RandomState(args.seed)
     rng_jax = jax.random.PRNGKey(args.seed)
 
@@ -298,11 +326,9 @@ def main(argv=None):
     state = trainer.init(jax.random.PRNGKey(args.seed), init_batch)
 
     stats = []
-    if args.resume:
-        path = args.resume
-        if not os.path.isfile(path):
-            path = os.path.join(args.odir, "model.ckpt")
-        state, args.start_epoch, _, scaler_state = load_checkpoint(path, state)
+    if resume_path:
+        state, args.start_epoch, _, scaler_state = load_checkpoint(
+            resume_path, state)
         if scaler_state is not None:
             from ..data.spg_io import EdgeFeatScaler
 

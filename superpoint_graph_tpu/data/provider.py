@@ -184,6 +184,99 @@ def read_ply(filename: str):
     return xyz, rgb, labels
 
 
+_PCD_TYPES = {("F", 4): "<f4", ("F", 8): "<f8", ("I", 1): "<i1",
+              ("I", 2): "<i2", ("I", 4): "<i4", ("U", 1): "<u1",
+              ("U", 2): "<u2", ("U", 4): "<u4"}
+
+
+def read_pcd(filename: str):
+    """xyz (+ labels if a 'label' field exists) from a PCD v0.7 file.
+
+    The reference's read_pcd is broken (provider.py:412-417: an
+    IndentationError plus a pypcd dependency); this is a self-contained
+    parser for ascii and binary PCDs. Returns (xyz [n,3] f32, labels [n] or
+    empty array)."""
+    with open(filename, "rb") as f:
+        header = {}
+        while True:
+            line = f.readline().decode("ascii", "replace").strip()
+            if not line or line.startswith("#"):
+                continue
+            key, _, val = line.partition(" ")
+            header[key.upper()] = val.split()
+            if key.upper() == "DATA":
+                break
+        fields = header["FIELDS"]
+        sizes = [int(s) for s in header["SIZE"]]
+        types = header["TYPE"]
+        counts = [int(c) for c in header.get("COUNT", ["1"] * len(fields))]
+        n = int(header["POINTS"][0])
+        mode = header["DATA"][0].lower()
+        dtype = []
+        for name, t, s, c in zip(fields, types, sizes, counts):
+            base = _PCD_TYPES[(t.upper(), s)]
+            dtype.append((name, base) if c == 1 else (name, base, (c,)))
+        dtype = np.dtype(dtype)
+        if mode == "ascii":
+            body = np.loadtxt(f, dtype=np.float64, ndmin=2, max_rows=n)
+            rec = np.zeros(n, dtype=dtype)
+            col = 0
+            for name, c in zip(fields, counts):
+                if c == 1:
+                    rec[name] = body[:, col].astype(dtype[name])
+                else:
+                    rec[name] = body[:, col : col + c].astype(
+                        dtype[name].base
+                    )
+                col += c
+        elif mode == "binary":
+            rec = np.frombuffer(f.read(n * dtype.itemsize), dtype=dtype,
+                                count=n)
+        else:
+            raise ValueError(
+                f"unsupported PCD DATA mode {mode!r} (ascii/binary only)"
+            )
+    xyz = np.stack(
+        [rec["x"], rec["y"], rec["z"]], axis=1
+    ).astype(np.float32)
+    labels = (
+        np.asarray(rec["label"]).astype(np.int64)
+        if "label" in fields
+        else np.zeros(0, np.int64)
+    )
+    return xyz, labels
+
+
+def write_pcd(filename: str, xyz: np.ndarray, labels: np.ndarray | None = None):
+    """ASCII PCD writer (round-trip counterpart of read_pcd)."""
+    xyz = np.asarray(xyz, np.float32)
+    fields = ["x", "y", "z"] + (["label"] if labels is not None else [])
+    sizes = ["4"] * 3 + (["4"] if labels is not None else [])
+    types = ["F"] * 3 + (["U"] if labels is not None else [])
+    n = len(xyz)
+    with open(filename, "wb") as f:
+        f.write(
+            (
+                "# .PCD v0.7 - Point Cloud Data file format\n"
+                "VERSION 0.7\n"
+                f"FIELDS {' '.join(fields)}\n"
+                f"SIZE {' '.join(sizes)}\n"
+                f"TYPE {' '.join(types)}\n"
+                f"COUNT {' '.join(['1'] * len(fields))}\n"
+                f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
+                f"POINTS {n}\nDATA ascii\n"
+            ).encode()
+        )
+        cols = [np.char.mod("%.6g", xyz[:, i]) for i in range(3)]
+        if labels is not None:
+            cols.append(np.char.mod("%d", np.asarray(labels, np.int64)))
+        lines = cols[0]
+        for c in cols[1:]:
+            lines = np.char.add(np.char.add(lines, " "), c)
+        if n:
+            f.write(("\n".join(lines) + "\n").encode())
+
+
 def read_las(filename: str):
     """xyz from las/laz (provider.py:420-437); requires laspy."""
     try:
@@ -317,12 +410,21 @@ def embedding2ply(filename, xyz, embeddings):
 
 
 def spg2ply(filename, spg_graph):
-    """Superpoint centroids as a point cloud (provider.py:100-122 writes edges
-    as segments; centroids + per-node random colors keep it dependency-light)."""
-    cent = spg_graph["sp_centroids"]
-    rng = np.random.RandomState(len(cent))
-    rgb = (rng.rand(len(cent), 3) * 255).astype(np.uint8)
-    _write_ply_xyzrgb(filename, cent, rgb)
+    """SPG as centroids + superedges as line segments (provider.py:100-122:
+    vertex element holds sp_centroids, edge element holds vertex1/vertex2
+    index pairs from source/target)."""
+    from ..utils.plyio import write_ply_elements
+
+    cent = np.asarray(spg_graph["sp_centroids"], np.float32)
+    src = np.asarray(spg_graph["source"]).ravel().astype(np.int32)
+    tgt = np.asarray(spg_graph["target"]).ravel().astype(np.int32)
+    write_ply_elements(
+        filename,
+        {
+            "vertex": {"x": cent[:, 0], "y": cent[:, 1], "z": cent[:, 2]},
+            "edge": {"vertex1": src, "vertex2": tgt},
+        },
+    )
 
 
 def edge_class2ply2(filename, edg_class, xyz, edg_source, edg_target):

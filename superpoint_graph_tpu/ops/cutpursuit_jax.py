@@ -62,6 +62,7 @@ def _solve(
     nw,
     reg,
     tgt_perm=None,
+    weight_decay=1.0,
     *,
     max_iter: int = 8,
     icm_sweeps: int = 3,
@@ -126,7 +127,16 @@ def _solve(
         lab = jnp.minimum(lab, lab[lab])
         return lab
 
-    def split_once(comp, saturated, mean):
+    def split_once(comp, saturated, mean, it):
+        # weight_decay damps the alternation count per outer iteration like
+        # the host solver (cutpursuit.py: steps = round(flow_steps*wd^it+.5));
+        # the unrolled steps beyond that are where-gated no-ops
+        steps_now = jnp.maximum(
+            1,
+            jnp.round(
+                flow_steps * weight_decay ** it.astype(f.dtype) + 0.5
+            ).astype(jnp.int32),
+        )
         resid = f - mean[comp]
         # principal direction per region via power iteration on segment covs
         cov = jax.ops.segment_sum(
@@ -149,7 +159,9 @@ def _solve(
 
         # unrolled alternations + ICM sweeps (static trip counts; lax loop
         # carries cost ~20ms/iter on TPU, unrolled bodies ~2ms)
-        for _ in range(flow_steps):
+        for k in range(flow_steps):
+            step_on = k < steps_now
+            b_in = b
             bf = b.astype(f.dtype)[:, None]
             hp, cp_ = _seg_mean(f, comp, n, weights=nw * bf[:, 0])
             hm, cm_ = _seg_mean(f, comp, n, weights=nw * (1.0 - bf[:, 0]))
@@ -170,13 +182,14 @@ def _solve(
                 want = (delta_u + field) < 0
                 upd = parity == (s % 2 == 0)
                 b = jnp.where(upd, want, b)
+            b = jnp.where(step_on, b, b_in)
         b = jnp.where(saturated[comp], False, b)
         return b
 
     def body(state):
         comp, saturated, energy, it, _ = state
         _, mean = _energy(f, nw, comp, src, tgt, w, reg, n)
-        b = split_once(comp, saturated, mean)
+        b = split_once(comp, saturated, mean, it)
         same = (comp[src] == comp[tgt]) & (b[src] == b[tgt])
         new_comp = iota
         for _ in range(cc_iters):
@@ -221,6 +234,7 @@ def _solve_dense(
     nbr_mask,   # [n, K] bool
     nw,
     reg,
+    weight_decay=1.0,
     *,
     max_iter: int = 8,
     icm_sweeps: int = 3,
@@ -284,7 +298,14 @@ def _solve_dense(
         )
         return lab
 
-    def split_once(comp, saturated, mean):
+    def split_once(comp, saturated, mean, it):
+        # weight_decay: same alternation-count schedule as the host solver
+        steps_now = jnp.maximum(
+            1,
+            jnp.round(
+                flow_steps * weight_decay ** it.astype(f.dtype) + 0.5
+            ).astype(jnp.int32),
+        )
         resid = f - mean[comp]
         cov = jax.ops.segment_sum(
             (resid[:, :, None] * resid[:, None, :]).reshape(n, d * d),
@@ -303,7 +324,9 @@ def _solve_dense(
         intra_nbr = comp[nbr] == comp[:, None]
         w_intra = jnp.where(intra_nbr, wmask, 0.0)
 
-        for _ in range(flow_steps):
+        for k in range(flow_steps):
+            step_on = k < steps_now
+            b_in = b
             bf = b.astype(f.dtype)
             hp, cp_ = _seg_mean(f, comp, n, weights=nw * bf)
             hm, cm_ = _seg_mean(f, comp, n, weights=nw * (1.0 - bf))
@@ -320,12 +343,13 @@ def _solve_dense(
                 want = (delta_u + field) < 0
                 upd = parity == (s % 2 == 0)
                 b = jnp.where(upd, want, b)
+            b = jnp.where(step_on, b, b_in)
         return jnp.where(saturated[comp], False, b)
 
     def body(state):
         comp, saturated, energy, it, _ = state
         mean = means_of(comp)
-        b = split_once(comp, saturated, mean)
+        b = split_once(comp, saturated, mean, it)
         same_nbr = (comp[nbr] == comp[:, None]) & (
             b[nbr] == b[:, None]
         ) & nbr_mask
@@ -415,8 +439,11 @@ def cutpursuit_tpu(
     """libcp.cutpursuit-compatible wrapper running the split loop on device.
 
     Returns (components, in_component) like the host oracle (cutpursuit.py).
+    `weight_decay` follows the host solver's alternation schedule
+    (steps = round(flow_steps * wd^it + 0.5), cutpursuit.py); `spatial` is a
+    no-op as in the host solver (documented divergence there).
     """
-    del spatial, weight_decay
+    del spatial
     f = np.ascontiguousarray(features, dtype=np.float32)
     if f.ndim == 1:
         f = f[:, None]
@@ -466,17 +493,25 @@ def cutpursuit_tpu(
             f, nbr, wmat, mask, nw = f_p, nbr_p, w_p, m_p, nw_p
         comp, _ = _solve_dense(
             jnp.asarray(f), jnp.asarray(nbr), jnp.asarray(wmat),
-            jnp.asarray(mask), nw, jnp.float32(reg_strength), **solver_kw,
+            jnp.asarray(mask), nw, jnp.float32(reg_strength),
+            jnp.float32(weight_decay), **solver_kw,
         )
         comp = comp[:n]
     else:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "cutpursuit_tpu: degree cap 64 drops %.2f%% of edge slots; "
+            "falling back to the edge-list solver (slower scatter path)",
+            100.0 * (1.0 - kept),
+        )
         src = jnp.asarray(src_h, jnp.int32)
         tgt = jnp.asarray(tgt_h, jnp.int32)
         w = jnp.asarray(w_h, jnp.float32)
         tgt_perm = jnp.asarray(np.argsort(tgt_h, kind="stable"), jnp.int32)
         comp, _ = _solve(
             jnp.asarray(f), src, tgt, w, nw, jnp.float32(reg_strength),
-            tgt_perm, **solver_kw,
+            tgt_perm, jnp.float32(weight_decay), **solver_kw,
         )
     comp = np.asarray(comp)
 

@@ -88,15 +88,19 @@ class TestCliWorkflow:
     def test_resume(self, dataset_tree):
         from superpoint_graph_tpu.cli import train as cli_train
 
+        # Architecture flags below CONFLICT with the checkpoint on purpose:
+        # resume must rebuild the model from the checkpoint's own saved args
+        # (reference main.py:398 "architecture can't change"), so the run
+        # only succeeds if these are ignored in favor of the saved ones.
         odir = os.path.join(dataset_tree, "results")
         cli_train.main([
             "--dataset", "s3dis", "--S3DIS_PATH", dataset_tree,
             "--cvfold", "2", "--odir", odir, "--epochs", "3",
             "--resume", "RESUME",
-            "--model_config", "gru_2,f_13",
-            "--ptn_widths", "[[16,32],[32,16]]",
+            "--model_config", "gru_4,f_13",
+            "--ptn_widths", "[[8,24],[24,16]]",
             "--ptn_widths_stn", "[[8,16],[16,8]]",
-            "--fnet_widths", "[16,16]",
+            "--fnet_widths", "[24,16]",
             "--ptn_minpts", "6", "--ptn_npts", "32",
             "--spg_augm_nneigh", "20", "--spg_augm_hardcutoff", "64",
             "--test_multisamp_n", "1", "--loss_weights", "proportional",

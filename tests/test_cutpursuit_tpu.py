@@ -48,6 +48,29 @@ class TestCutPursuitTPU:
             ratios.append(e_tpu / max(e_host, 1e-9))
         assert np.mean(ratios) < 1.10, ratios
 
+    def test_weight_decay_honored(self, rng):
+        """weight_decay gates the alternation count per outer iteration (host
+        schedule: steps = round(flow_steps*wd^it+.5)). wd=1.0 must equal the
+        ungated solver; a strongly decayed run still yields a valid partition
+        with energy in the oracle's ballpark."""
+        h, w = 10, 10
+        src, tgt = grid_graph(h, w)
+        ew = np.ones(len(src))
+        f = rng.rand(h * w, 3).astype(np.float32)
+        band = ((np.arange(h * w).reshape(h, w) % w) // 4).ravel()
+        f += np.stack([band == i for i in range(3)], 1).astype(np.float32) * 2.0
+        reg = 0.3
+        _, ic_full = cp_tpu.cutpursuit_tpu(
+            f, src, tgt, ew, reg, weight_decay=1.0, flow_steps=3)
+        _, ic_decay = cp_tpu.cutpursuit_tpu(
+            f, src, tgt, ew, reg, weight_decay=0.3, flow_steps=3)
+        e_full = partition_energy(f, ic_full, src, tgt, ew, reg)
+        e_decay = partition_energy(f, ic_decay, src, tgt, ew, reg)
+        e_single = partition_energy(
+            f, np.zeros(h * w, np.int64), src, tgt, ew, reg)
+        assert e_decay < e_single  # still a useful partition
+        assert e_decay < e_full * 1.5
+
     def test_cutoff(self, rng):
         src, tgt = grid_graph(6, 6)
         f = rng.randn(36, 2).astype(np.float32) * 0.01

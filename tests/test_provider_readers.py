@@ -42,6 +42,68 @@ class TestVkittiReader:
         assert labels.min() >= 0
 
 
+class TestPcdReader:
+    def test_ascii_roundtrip(self, tmp_path, rng):
+        n = 150
+        xyz = rng.rand(n, 3).astype(np.float32)
+        labels = rng.randint(0, 9, n)
+        path = str(tmp_path / "cloud.pcd")
+        provider.write_pcd(path, xyz, labels)
+        xyz2, labels2 = provider.read_pcd(path)
+        np.testing.assert_allclose(xyz2, xyz, atol=1e-5)
+        np.testing.assert_array_equal(labels2, labels)
+
+    def test_ascii_no_label(self, tmp_path, rng):
+        xyz = rng.rand(40, 3).astype(np.float32)
+        path = str(tmp_path / "cloud.pcd")
+        provider.write_pcd(path, xyz)
+        xyz2, labels2 = provider.read_pcd(path)
+        np.testing.assert_allclose(xyz2, xyz, atol=1e-5)
+        assert labels2.size == 0
+
+    def test_binary(self, tmp_path, rng):
+        # hand-rolled binary PCD with an extra intensity field to exercise
+        # field skipping
+        n = 64
+        rec = np.zeros(
+            n, dtype=[("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+                      ("intensity", "<f4"), ("label", "<u4")]
+        )
+        for k in "xyz":
+            rec[k] = rng.rand(n).astype(np.float32)
+        rec["label"] = rng.randint(0, 5, n)
+        path = str(tmp_path / "cloud_bin.pcd")
+        with open(path, "wb") as f:
+            f.write(
+                b"VERSION 0.7\nFIELDS x y z intensity label\n"
+                b"SIZE 4 4 4 4 4\nTYPE F F F F U\nCOUNT 1 1 1 1 1\n"
+                + f"WIDTH {n}\nHEIGHT 1\nPOINTS {n}\nDATA binary\n".encode()
+            )
+            f.write(rec.tobytes())
+        xyz, labels = provider.read_pcd(path)
+        np.testing.assert_allclose(xyz[:, 0], rec["x"])
+        np.testing.assert_array_equal(labels, rec["label"])
+
+
+class TestSpgPly:
+    def test_edge_segments(self, tmp_path, rng):
+        from superpoint_graph_tpu.utils.plyio import read_ply_elements
+
+        cent = rng.rand(10, 3).astype(np.float32)
+        src = rng.randint(0, 10, 25)
+        tgt = rng.randint(0, 10, 25)
+        path = str(tmp_path / "spg.ply")
+        provider.spg2ply(
+            path,
+            {"sp_centroids": cent, "source": src, "target": tgt},
+        )
+        elems = read_ply_elements(path)
+        assert set(elems) == {"vertex", "edge"}
+        np.testing.assert_allclose(elems["vertex"]["x"], cent[:, 0], atol=1e-5)
+        np.testing.assert_array_equal(elems["edge"]["vertex1"], src)
+        np.testing.assert_array_equal(elems["edge"]["vertex2"], tgt)
+
+
 class TestSema3dReader:
     def _write(self, tmp_path, rng, n=4000, labeled=True):
         xyz = (rng.rand(n, 3) * 5).astype(np.float32)
