@@ -52,6 +52,8 @@ class LoaderConfig:
     # padded capacities; batches are bucketed to multiples of these
     n_sp_bucket: int = 128
     n_edge_bucket: int = 512
+    # unique-edge-feature rows bucket (edge-feature compaction); 0 disables
+    n_uniq_bucket: int = 256
 
 
 def pc_attrib_dims(pc_attribs: str) -> int:
@@ -277,6 +279,25 @@ def collate_spg(samples: Sequence[dict], cfg: LoaderConfig, n_classes: int,
         sp_off += k
         ed_off += e
 
+    # edge-feature compaction (reference ecc/utils.py:44-48): the fnet runs
+    # once per unique feature row; padding edges map to row 0. The unique
+    # matrix gets its own bucket so shapes stay cacheable. When duplicates
+    # don't pay for the extra gather (n_uniq ~ n_edges), compaction is
+    # skipped for that batch.
+    uniq = idx = uniq_mask = None
+    if cfg.n_uniq_bucket > 0 and n_ed:
+        uniq_rows, inv = np.unique(
+            efeats[:n_ed], axis=0, return_inverse=True
+        )
+        cap_eu = _bucket(len(uniq_rows), cfg.n_uniq_bucket)
+        if cap_eu < cap_ed:
+            uniq = np.zeros((cap_eu, efeat_dim), np.float32)
+            uniq[: len(uniq_rows)] = uniq_rows
+            idx = np.zeros(cap_ed, np.int32)
+            idx[:n_ed] = inv
+            uniq_mask = np.zeros(cap_eu, bool)
+            uniq_mask[: len(uniq_rows)] = True
+
     return SpgBatch(
         clouds=jnp.asarray(clouds),
         clouds_global=jnp.asarray(glob),
@@ -288,6 +309,9 @@ def collate_spg(samples: Sequence[dict], cfg: LoaderConfig, n_classes: int,
         tgt=jnp.asarray(tgt),
         edge_feats=jnp.asarray(efeats),
         edge_mask=jnp.asarray(emask),
+        edge_feat_uniq=None if uniq is None else jnp.asarray(uniq),
+        edge_feat_idx=None if idx is None else jnp.asarray(idx),
+        edge_uniq_mask=None if uniq_mask is None else jnp.asarray(uniq_mask),
     )
 
 

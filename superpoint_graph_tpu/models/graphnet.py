@@ -79,9 +79,21 @@ class GraphNetwork(nn.Module):
         edge_mask,
         node_mask=None,
         train: bool = True,
+        edge_feat_idx=None,
+        fnet_mask=None,
     ):
+        """With edge_feat_idx set, `edge_feats` holds UNIQUE feature rows and
+        the fnet output is gathered back per edge (reference edge-feature
+        compaction, ecc/utils.py:44-48 + GraphConvModule.py:40-41 — saves
+        nfeat^2-sized fnet evaluations on duplicate rows). `fnet_mask` masks
+        the fnet's interior batchnorm rows (defaults to edge_mask)."""
         n_nodes = h.shape[0]
         nfeat = self.nfeat
+        if fnet_mask is None:
+            fnet_mask = edge_mask
+
+        def expand(weights):
+            return weights if edge_feat_idx is None else weights[edge_feat_idx]
         for d, conf in enumerate(self.config.split(",")):
             parts = conf.strip().split("_")
             t = parts[0]
@@ -113,7 +125,7 @@ class GraphNetwork(nn.Module):
                     bnidx=self.fnet_bnidx,
                     name=f"{d}_fnet",
                 )
-                weights = fnet(edge_feats, edge_mask, train)
+                weights = expand(fnet(edge_feats, fnet_mask, train))
                 if not vv:
                     weights = weights.reshape(-1, nfeat, nfeat)
 
@@ -147,7 +159,9 @@ class GraphNetwork(nn.Module):
                     bnidx=self.fnet_bnidx,
                     name=f"{d}_fnet",
                 )
-                weights = fnet(edge_feats, edge_mask, train).reshape(-1, nfeat, nfeat)
+                weights = expand(
+                    fnet(edge_feats, fnet_mask, train)
+                ).reshape(-1, nfeat, nfeat)
                 # CRF-as-RNN (modules.py:185-202): Q softmaxed, propagated,
                 # subtracted from the unaries; final softmax folds into the loss
                 q = nn.softmax(h)

@@ -33,6 +33,12 @@ class SpgBatch:
     tgt: jax.Array             # [n_edges] int32 superedge target node
     edge_feats: jax.Array      # [n_edges, F]
     edge_mask: jax.Array       # [n_edges] bool
+    # edge-feature compaction (reference ecc/utils.py:44-48 unique_rows +
+    # GraphConvModule.py:40-41 idxe): the fnet is evaluated once per UNIQUE
+    # edge-feature row, then gathered back per edge. Optional — None disables.
+    edge_feat_uniq: jax.Array | None = None  # [n_uniq, F] unique rows (padded)
+    edge_feat_idx: jax.Array | None = None   # [n_edges] int32 -> uniq row
+    edge_uniq_mask: jax.Array | None = None  # [n_uniq] bool (real rows)
 
 
 class SpgModel(nn.Module):
@@ -76,13 +82,21 @@ class SpgModel(nn.Module):
             batch.clouds, batch.clouds_global, batch.cloud_mask, train=train
         )
         emb = jnp.where(batch.cloud_mask[:, None], emb, 0.0)
+        if batch.edge_feat_uniq is not None:
+            ef, idx, fnet_mask = (
+                batch.edge_feat_uniq, batch.edge_feat_idx, batch.edge_uniq_mask
+            )
+        else:
+            ef, idx, fnet_mask = batch.edge_feats, None, batch.edge_mask
         logits = self.ecc(
             emb,
-            batch.edge_feats,
+            ef,
             batch.src,
             batch.tgt,
             batch.edge_mask,
             node_mask=batch.node_mask,
             train=train,
+            edge_feat_idx=idx,
+            fnet_mask=fnet_mask,
         )
         return logits

@@ -255,6 +255,78 @@ class TestModelPaddingInvariance:
         np.testing.assert_allclose(out1, out2, rtol=1e-5, atol=1e-5)
 
 
+class TestEdgeFeatureCompaction:
+    def _model(self):
+        return SpgModel(
+            n_classes=6,
+            model_config="gru_2_0,f_6",  # matrix-mode filters: compaction's payoff
+            ptn_widths=((16, 32), (32, 16)),
+            ptn_widths_stn=((8, 16), (16, 8)),
+            fnet_widths=(13, 16, 16),
+        )
+
+    def test_compacted_equals_plain(self, rng):
+        """fnet-per-unique-row + gather must produce identical eval logits to
+        fnet-per-edge (reference ecc/utils.py:44-48 unique_rows/idxe)."""
+        batch = random_spg_batch(rng)
+        # plant duplicate edge-feature rows (the real SPGs are full of them)
+        ef = np.array(batch.edge_feats)
+        ef[10:30] = ef[0]
+        ef[30:45] = ef[1]
+        batch = batch.replace(edge_feats=jnp.asarray(ef))
+
+        uniq_rows, inv = np.unique(ef, axis=0, return_inverse=True)
+        cap = 64
+        uniq = np.zeros((cap, ef.shape[1]), np.float32)
+        uniq[: len(uniq_rows)] = uniq_rows
+        umask = np.zeros(cap, bool)
+        umask[: len(uniq_rows)] = True
+        compact = batch.replace(
+            edge_feat_uniq=jnp.asarray(uniq),
+            edge_feat_idx=jnp.asarray(inv.astype(np.int32)),
+            edge_uniq_mask=jnp.asarray(umask),
+        )
+        model = self._model()
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        plain = np.asarray(model.apply(variables, batch, train=False))
+        got = np.asarray(model.apply(variables, compact, train=False))
+        np.testing.assert_allclose(got, plain, rtol=1e-5, atol=1e-5)
+
+    def test_collate_emits_compaction(self, rng):
+        from superpoint_graph_tpu.data.loader import (
+            LoaderConfig, collate_spg,
+        )
+
+        n_sp, n_ed = 12, 40
+        ef = rng.rand(n_ed, 13).astype(np.float32)
+        ef[5:] = ef[0]  # heavy duplication
+        sample = {
+            "node_gt": rng.randint(0, 6, (n_sp, 1)),
+            "node_gt_size": rng.randint(0, 5, (n_sp, 7)),
+            "edges": rng.randint(0, n_sp, (n_ed, 2)),
+            "edge_feats": ef,
+            "clouds": rng.randn(n_sp, 16, 11).astype(np.float32),
+            "clouds_global": rng.rand(n_sp).astype(np.float32),
+            "cloud_flag": np.zeros(n_sp, np.int32),
+        }
+        cfg = LoaderConfig(ptn_npts=16, n_sp_bucket=16, n_edge_bucket=64,
+                           n_uniq_bucket=16)
+        b = collate_spg([sample], cfg, 6, 11)
+        assert b.edge_feat_uniq is not None
+        assert b.edge_feat_uniq.shape[0] == 16  # 6 unique rows -> one bucket
+        # idx maps every real edge back to its own feature row
+        uniq = np.asarray(b.edge_feat_uniq)
+        idx = np.asarray(b.edge_feat_idx)
+        np.testing.assert_allclose(
+            uniq[idx[:n_ed]], np.asarray(b.edge_feats)[:n_ed], atol=1e-6
+        )
+        # compaction skipped when it wouldn't shrink the fnet input
+        cfg2 = LoaderConfig(ptn_npts=16, n_sp_bucket=16, n_edge_bucket=64,
+                            n_uniq_bucket=0)
+        b2 = collate_spg([sample], cfg2, 6, 11)
+        assert b2.edge_feat_uniq is None
+
+
 class TestMoreConfigs:
     def test_lstm_and_bn_dropout_tokens(self, rng):
         batch = random_spg_batch(rng)
