@@ -30,6 +30,10 @@ def parse_args(argv=None):
     parser.add_argument("--ver_batch", default=0, type=int)
     parser.add_argument("--overwrite", default=0, type=int)
     parser.add_argument("--cp_backend", default="tpu", choices=["tpu", "exact"])
+    parser.add_argument("--n_labels", default=0, type=int,
+                        help="class count for custom_dataset (the reference's "
+                             "custom_dataset template variable); 0 = infer "
+                             "from the data when labels are present")
     parser.add_argument("--spg_adjacency", default="delaunay",
                         choices=["delaunay", "knn"])
     return parser.parse_args(argv)
@@ -73,7 +77,9 @@ def main(argv=None):
 
     args = parse_args(argv)
     root = args.ROOT_PATH.rstrip("/")
-    n_labels = {"s3dis": 13, "sema3d": 8, "vkitti": 13}.get(args.dataset, 0)
+    n_labels = {"s3dis": 13, "sema3d": 8, "vkitti": 13}.get(
+        args.dataset, args.n_labels
+    )
     cfg = PartitionConfig(
         k_nn_geof=args.k_nn_geof,
         k_nn_adj=args.k_nn_adj,
@@ -129,6 +135,8 @@ def main(argv=None):
                 xyz, labels = provider.read_pcd(data_file)
                 if labels.size == 0:
                     labels = None
+                elif n_labels == 0:
+                    n_labels = int(labels.max())
                 rgb = np.zeros((len(xyz), 3), np.uint8)
                 objects = None
             elif data_file.endswith(".las"):
@@ -137,6 +145,10 @@ def main(argv=None):
                 labels = objects = None
             else:
                 xyz, rgb, labels = provider.read_ply(data_file)
+                if labels is not None and np.size(labels) == 0:
+                    labels = None
+                elif labels is not None and n_labels == 0:
+                    n_labels = int(np.max(labels))
                 objects = None
 
             # sema3d is pruned inside the chunked reader; skip double pruning

@@ -1,0 +1,450 @@
+"""l0 cut pursuit on a block-banded graph layout — the TPU fast path.
+
+The dense-K solver (cutpursuit_jax._solve_dense) spends ~90% of its time in
+[n, K] random gathers: on TPU, gather/scatter cost scales with the number of
+indices (~8ns each), so the 48 CC sweeps + 12 ICM sweeps per outer iteration
+at 2M indices each dominate everything. This module removes the gathers
+entirely:
+
+  1. Vertices are sorted by Morton code on the host (spatial locality), so
+     ~95% of kNN edges connect vertices within +-2*B index positions.
+  2. The graph is stored BLOCK-BANDED: for block row p (rows p*B..p*B+B-1),
+     a dense [B, WIN] window over columns (p-2)*B..(p+3)*B. Every sweep
+     (connected-components min-propagation, ICM graph field) becomes
+     aligned window slices + VPU masked row reductions — zero gathers,
+     streaming the band from HBM.
+  3. The few out-of-band edges go to an exact edge-list overflow pass that
+     runs inside the same jit (small segment_min/segment_sum ops).
+
+Same outer algorithm as cutpursuit_jax (parallel-ICM splits + label-prop CC
++ saturation; reference solver semantics per SIAM-2017 l0 cut pursuit,
+call sites partition/partition.py:177, supervized_partition/losses.py:82).
+
+The inner CC min-propagation additionally has a Pallas multi-sweep kernel
+(`_cc_band_pallas`) that keeps the label vector in VMEM across a
+Gauss-Seidel pass over block rows — see `cc_band_sweeps`.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B = 512          # block row size
+HALO = 2         # window = (2*HALO + 1) blocks
+WIN = (2 * HALO + 1) * B
+BIG = jnp.int32(2**30)
+
+
+# ---------------------------------------------------------------------------
+# host-side preparation
+# ---------------------------------------------------------------------------
+
+
+def morton_order(xyz: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Morton (z-order) sort permutation — spatial locality => banded graph."""
+    xyz = np.asarray(xyz, np.float64)
+    lo = xyz.min(0)
+    span = max(float(np.ptp(xyz, 0).max()), 1e-9)
+    q = ((xyz - lo) / span * ((1 << bits) - 1)).astype(np.uint64)
+    code = np.zeros(len(xyz), np.uint64)
+    for b in range(bits):
+        for a in range(3):
+            code |= ((q[:, a] >> np.uint64(b)) & np.uint64(1)) << np.uint64(
+                3 * b + a
+            )
+    return np.argsort(code, kind="stable")
+
+
+def split_band_edges(n_pad: int, src: np.ndarray, tgt: np.ndarray,
+                     w: np.ndarray):
+    """Split symmetrized directed edges into in-window and overflow.
+
+    For a directed edge (i -> j) the window test is
+    (p-HALO)*B <= j < (p+HALO+1)*B with p = i // B. Returns
+    (flat_idx_in_band, w_in_band, src_of, tgt_of, w_of); flat_idx indexes the
+    flattened [n_pad, WIN] band as i*WIN + (j - (i//B - HALO)*B)."""
+    p = src // B
+    c = tgt - (p - HALO) * B
+    inband = (c >= 0) & (c < WIN)
+    flat = src[inband].astype(np.int64) * WIN + c[inband]
+    return (
+        flat,
+        w[inband].astype(np.float32),
+        src[~inband].astype(np.int32),
+        tgt[~inband].astype(np.int32),
+        w[~inband].astype(np.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# device-side banded primitives
+# ---------------------------------------------------------------------------
+
+
+def _windows(v2d_pad, fill):
+    """[NB + 2*HALO, B] padded block view -> [NB, WIN] sliding windows."""
+    nb = v2d_pad.shape[0] - 2 * HALO
+    parts = [v2d_pad[s : s + nb] for s in range(2 * HALO + 1)]
+    return jnp.concatenate(parts, axis=1)
+
+
+def _pad_blocks(v, fill):
+    """[n] -> [NB + 2*HALO, B] with `fill` ghost blocks top and bottom."""
+    nb = v.shape[0] // B
+    v2 = v.reshape(nb, B)
+    ghost = jnp.full((HALO, B), fill, v.dtype)
+    return jnp.concatenate([ghost, v2, ghost], axis=0)
+
+
+def band_windows(v, fill):
+    """[n] vector -> [NB, WIN] window matrix (column c of block row p holds
+    v[(p-HALO)*B + c], ghost positions = fill)."""
+    return _windows(_pad_blocks(v, fill), fill)
+
+
+def cc_band_sweeps(lab, same_band, n_sweeps: int):
+    """`n_sweeps` Jacobi min-propagation sweeps over the band.
+
+    same_band: [NB, B, WIN] bool — in-band edge present AND same (comp, b).
+    """
+    nb = lab.shape[0] // B
+    for _ in range(n_sweeps):
+        labw = band_windows(lab, BIG)  # [NB, WIN]
+        cand = jnp.where(same_band, labw[:, None, :], BIG)
+        lab = jnp.minimum(lab, jnp.min(cand, axis=2).reshape(-1))
+    return lab
+
+
+def _jump(lab, times: int):
+    for _ in range(times):
+        lab = jnp.minimum(lab, lab[lab])
+    return lab
+
+
+# ---------------------------------------------------------------------------
+# the solver
+# ---------------------------------------------------------------------------
+
+
+def _seg_mean(data, seg, n, weights):
+    tot = jax.ops.segment_sum(data * weights[:, None], seg, num_segments=n)
+    cnt = jax.ops.segment_sum(weights, seg, num_segments=n)
+    return tot / jnp.maximum(cnt, 1e-12)[:, None], cnt
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_iter", "icm_sweeps", "flow_steps", "power_iters", "cc_rounds",
+        "cc_sweeps_per_round",
+    ),
+)
+def _solve_band(
+    f,            # [n, d] features (Morton order, padded)
+    band_w,       # [NB, B, WIN] f32 edge weight (0 where no edge)
+    of_src,       # [E_of] int32 overflow directed edges (padded with self)
+    of_tgt,       # [E_of] int32
+    of_w,         # [E_of] f32 (0 for padding)
+    nw,           # [n] node weights (0 for padding)
+    reg,
+    weight_decay=1.0,
+    *,
+    max_iter: int = 8,
+    icm_sweeps: int = 3,
+    flow_steps: int = 2,
+    power_iters: int = 8,
+    cc_rounds: int = 16,
+    cc_sweeps_per_round: int = 4,
+):
+    n, d = f.shape
+    nb = n // B
+    iota = jnp.arange(n, dtype=jnp.int32)
+    parity = (iota % 2).astype(bool)
+    band_adj = band_w > 0.0
+
+    def energy_of(comp, mean):
+        fid = jnp.sum(nw * jnp.sum((f - mean[comp]) ** 2, axis=1))
+        compw = band_windows(comp, jnp.int32(-1))
+        cross_band = jnp.sum(
+            jnp.where(
+                band_adj
+                & (compw[:, None, :] != comp.reshape(nb, B)[:, :, None]),
+                band_w,
+                0.0,
+            )
+        )
+        cross_of = jnp.sum(
+            jnp.where(comp[of_src] != comp[of_tgt], of_w, 0.0)
+        )
+        # every undirected edge appears twice (both directions)
+        return fid + reg * 0.5 * (cross_band + cross_of)
+
+    def means_of(comp):
+        mean, _ = _seg_mean(f, comp, n, nw)
+        return mean
+
+    def cc_full(comp, b):
+        """Connected components of the same-(comp, b) graph: banded
+        min-propagation rounds + overflow hook + pointer jumping, run until a
+        full round changes nothing."""
+        compw = band_windows(comp, jnp.int32(-1))
+        bw = band_windows(b.astype(jnp.int8), jnp.int8(-1))
+        comp2 = comp.reshape(nb, B)[:, :, None]
+        b2 = b.astype(jnp.int8).reshape(nb, B)[:, :, None]
+        same_band = band_adj & (compw[:, None, :] == comp2) & (
+            bw[:, None, :] == b2
+        )
+        of_same = (comp[of_src] == comp[of_tgt]) & (b[of_src] == b[of_tgt]) & (
+            of_w > 0.0
+        )
+
+        def round_body(state):
+            lab, _, i = state
+            new = cc_band_sweeps(lab, same_band, cc_sweeps_per_round)
+            # overflow hook: relax out-of-band edges exactly
+            m = jnp.where(
+                of_same, jnp.minimum(new[of_src], new[of_tgt]), BIG
+            )
+            hook = jnp.minimum(
+                jax.ops.segment_min(m, of_src, num_segments=n),
+                jax.ops.segment_min(m, of_tgt, num_segments=n),
+            )
+            new = jnp.minimum(new, hook)
+            new = _jump(new, 3)
+            return new, jnp.any(new != lab), i + 1
+
+        def round_cond(state):
+            return state[1] & (state[2] < cc_rounds)
+
+        lab0, _, _ = round_body((iota, jnp.bool_(True), jnp.int32(0)))
+        lab, _, _ = jax.lax.while_loop(
+            round_cond, round_body, (lab0, jnp.bool_(True), jnp.int32(1))
+        )
+        return lab
+
+    def split_once(comp, saturated, mean, it):
+        steps_now = jnp.maximum(
+            1,
+            jnp.round(
+                flow_steps * weight_decay ** it.astype(f.dtype) + 0.5
+            ).astype(jnp.int32),
+        )
+        resid = f - mean[comp]
+        cov = jax.ops.segment_sum(
+            (resid[:, :, None] * resid[:, None, :]).reshape(n, d * d),
+            comp,
+            num_segments=n,
+        ).reshape(n, d, d)
+        v = jnp.ones((n, d), f.dtype) + 0.01 * jnp.sin(
+            iota[:, None].astype(f.dtype) * jnp.arange(1, d + 1, dtype=f.dtype)
+        )
+        for _ in range(power_iters):
+            v = jnp.einsum("nij,nj->ni", cov, v)
+            v = v * jax.lax.rsqrt(jnp.sum(v * v, axis=1, keepdims=True) + 1e-20)
+        b = jnp.sum(resid * v[comp], axis=1) > 0
+        b = jnp.where(saturated[comp], False, b)
+
+        # intra-region weighted band, materialized once per outer iteration
+        compw = band_windows(comp, jnp.int32(-1))
+        w_intra = jnp.where(
+            band_adj
+            & (compw[:, None, :] == comp.reshape(nb, B)[:, :, None]),
+            band_w,
+            0.0,
+        )
+        of_intra_w = jnp.where(comp[of_src] == comp[of_tgt], of_w, 0.0)
+
+        for k in range(flow_steps):
+            step_on = k < steps_now
+            b_in = b
+            bf = b.astype(f.dtype)
+            hp, cp_ = _seg_mean(f, comp, n, nw * bf)
+            hm, cm_ = _seg_mean(f, comp, n, nw * (1.0 - bf))
+            hp = jnp.where((cp_ > 0)[:, None], hp, mean)
+            hm = jnp.where((cm_ > 0)[:, None], hm, mean)
+            delta_u = nw * (
+                jnp.sum((f - hp[comp]) ** 2, axis=1)
+                - jnp.sum((f - hm[comp]) ** 2, axis=1)
+            )
+            for s in range(2 * icm_sweeps):
+                bw = band_windows(1.0 - 2.0 * b.astype(f.dtype), 0.0)
+                field = reg * (
+                    jnp.sum(w_intra * bw[:, None, :], axis=2).reshape(-1)
+                    + jax.ops.segment_sum(
+                        of_intra_w * (1.0 - 2.0 * b[of_tgt].astype(f.dtype)),
+                        of_src,
+                        num_segments=n,
+                    )
+                )
+                want = (delta_u + field) < 0
+                upd = parity == (s % 2 == 0)
+                b = jnp.where(upd, want, b)
+            b = jnp.where(step_on, b, b_in)
+        return jnp.where(saturated[comp], False, b)
+
+    def body(state):
+        comp, saturated, energy, it, _ = state
+        mean = means_of(comp)
+        b = split_once(comp, saturated, mean, it)
+        new_comp = cc_full(comp, b)
+        new_energy = energy_of(new_comp, means_of(new_comp))
+        improved = new_energy < energy - 1e-6 * jnp.maximum(
+            jnp.abs(energy), 1.0
+        )
+        hi = jax.ops.segment_max(new_comp, comp, num_segments=n)
+        lo = jax.ops.segment_min(new_comp, comp, num_segments=n)
+        new_sat = (hi == lo)[comp]
+        sat_flag = jax.ops.segment_max(
+            new_sat.astype(jnp.int32), new_comp, num_segments=n
+        ).astype(bool)
+        comp_out = jnp.where(improved, new_comp, comp)
+        sat_out = jnp.where(improved, sat_flag, saturated)
+        e_out = jnp.where(improved, new_energy, energy)
+        return comp_out, sat_out, e_out, it + 1, improved
+
+    def cond(state):
+        return (state[3] < max_iter) & state[4]
+
+    comp0 = jnp.zeros(n, jnp.int32)
+    energy0 = energy_of(comp0, means_of(comp0))
+    state = (comp0, jnp.zeros(n, bool), energy0, jnp.int32(0), jnp.bool_(True))
+    comp, saturated, energy, it, _ = jax.lax.while_loop(cond, body, state)
+    return comp, energy
+
+
+# ---------------------------------------------------------------------------
+# wrapper
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _build_band(n: int, flat_idx, flat_w):
+    """Scatter in-window edge weights into the [NB, B, WIN] band (summing
+    duplicates, like the dense-K builder). Padding entries carry zero weight
+    (index 0, weight 0 — a no-op add)."""
+    band = jnp.zeros(n * WIN, jnp.float32)
+    band = band.at[flat_idx].add(flat_w)
+    return band.reshape(n // B, B, WIN)
+
+
+def cutpursuit_band(
+    features: np.ndarray,
+    source: np.ndarray,
+    target: np.ndarray,
+    edge_weight: np.ndarray,
+    reg_strength: float,
+    cutoff: int = 0,
+    spatial: bool = False,
+    weight_decay: float = 0.7,
+    node_weight: np.ndarray | None = None,
+    xyz: np.ndarray | None = None,
+    **solver_kw,
+):
+    """libcp.cutpursuit-compatible banded solver (the large-cloud fast path).
+
+    `xyz` (optional) provides coordinates for the Morton sort; without it the
+    input order is assumed to already be spatially local. Returns
+    (components, in_component) like the host oracle."""
+    del spatial
+    f = np.ascontiguousarray(features, dtype=np.float32)
+    if f.ndim == 1:
+        f = f[:, None]
+    n = f.shape[0]
+    src = np.asarray(source, np.int64)
+    tgt = np.asarray(target, np.int64)
+    w = np.asarray(edge_weight, np.float32)
+    nw_h = (
+        np.ones(n, np.float32)
+        if node_weight is None
+        else np.asarray(node_weight, np.float32)
+    )
+
+    # Morton permutation (identity if no coordinates given)
+    if xyz is not None:
+        perm = morton_order(np.asarray(xyz))
+    else:
+        perm = np.arange(n)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(n)
+
+    n_pad = -(-max(n, B) // B) * B
+    # bucket block count to powers of two for executable reuse
+    nb = n_pad // B
+    nb_pad = 1 << int(np.ceil(np.log2(max(nb, 2))))
+    n_pad = nb_pad * B
+
+    f_p = np.zeros((n_pad, f.shape[1]), np.float32)
+    f_p[:n] = f[perm]
+    nw_p = np.zeros(n_pad, np.float32)
+    nw_p[:n] = nw_h[perm]
+
+    # symmetrized directed edges in permuted space. No dedup needed: the band
+    # scatter ADDS duplicate directed edges, which reproduces exactly the
+    # duplicate-summing of _dense_neighbors (a mutual kNN pair contributes
+    # twice its weight to the cut cost, like the reference).
+    ps = inv[src].astype(np.int32)
+    pt = inv[tgt].astype(np.int32)
+    ds = np.concatenate([ps, pt])
+    dt = np.concatenate([pt, ps])
+    dw = np.concatenate([w, w]).astype(np.float32)
+
+    flat_idx, flat_w, of_src, of_tgt, of_w = split_band_edges(
+        n_pad, ds, dt, dw
+    )
+    # pad overflow list to a bucketed length (self-loops with zero weight)
+    e_of = max(1024, 1 << int(np.ceil(np.log2(max(len(of_src), 1)))))
+    of_src_p = np.zeros(e_of, np.int32)
+    of_tgt_p = np.zeros(e_of, np.int32)
+    of_w_p = np.zeros(e_of, np.float32)
+    of_src_p[: len(of_src)] = of_src
+    of_tgt_p[: len(of_tgt)] = of_tgt
+    of_w_p[: len(of_w)] = of_w
+
+    # bucket the in-band scatter length so _build_band reuses executables;
+    # int32 flat indices when they fit (halves the host->device transfer)
+    e_in = max(4096, 1 << int(np.ceil(np.log2(max(len(flat_idx), 1)))))
+    idx_dt = np.int32 if n_pad * WIN < 2**31 else np.int64
+    flat_idx_p = np.zeros(e_in, idx_dt)
+    flat_w_p = np.zeros(e_in, np.float32)
+    flat_idx_p[: len(flat_idx)] = flat_idx
+    flat_w_p[: len(flat_w)] = flat_w
+
+    band_w = _build_band(
+        n_pad, jnp.asarray(flat_idx_p), jnp.asarray(flat_w_p)
+    )
+    comp, _ = _solve_band(
+        jnp.asarray(f_p),
+        band_w,
+        jnp.asarray(of_src_p),
+        jnp.asarray(of_tgt_p),
+        jnp.asarray(of_w_p),
+        jnp.asarray(nw_p),
+        jnp.float32(reg_strength),
+        jnp.float32(weight_decay),
+        **solver_kw,
+    )
+    comp = np.asarray(comp)[:n][inv]  # back to original vertex order
+
+    _, first_pos, invc = np.unique(comp, return_index=True, return_inverse=True)
+    order = np.argsort(np.argsort(first_pos))
+    in_comp = order[invc]
+
+    from .cutpursuit import merge_regions
+
+    in_comp = merge_regions(
+        f, nw_h, in_comp, src, tgt, w, float(reg_strength)
+    )
+
+    if cutoff > 0:
+        from .components import connected_components
+
+        active = in_comp[src] == in_comp[tgt]
+        _, in_comp = connected_components(n, src, tgt, active, cutoff)
+
+    from .components import group_components
+
+    components = group_components(in_comp)
+    return components, in_comp.astype(np.int32)

@@ -434,6 +434,8 @@ def cutpursuit_tpu(
     spatial: bool = False,
     weight_decay: float = 0.7,
     node_weight: np.ndarray | None = None,
+    xyz: np.ndarray | None = None,
+    band_threshold: int = 16384,
     **solver_kw,
 ):
     """libcp.cutpursuit-compatible wrapper running the split loop on device.
@@ -442,8 +444,20 @@ def cutpursuit_tpu(
     `weight_decay` follows the host solver's alternation schedule
     (steps = round(flow_steps * wd^it + 0.5), cutpursuit.py); `spatial` is a
     no-op as in the host solver (documented divergence there).
+
+    Large clouds (n >= band_threshold) route to the block-banded solver
+    (cutpursuit_band) which eliminates the per-sweep random gathers; `xyz`
+    enables its Morton locality sort.
     """
     del spatial
+    if features.shape[0] >= band_threshold:
+        from .cutpursuit_band import cutpursuit_band
+
+        return cutpursuit_band(
+            features, source, target, edge_weight, reg_strength,
+            cutoff=cutoff, weight_decay=weight_decay,
+            node_weight=node_weight, xyz=xyz, **solver_kw,
+        )
     f = np.ascontiguousarray(features, dtype=np.float32)
     if f.ndim == 1:
         f = f[:, None]

@@ -115,15 +115,17 @@ def partition_cloud(
     t0 = time.perf_counter()
     features = assemble_partition_features(geof, rgb, cfg)
     w = edge_weights(graph_nn["distances"], cfg.lambda_edge_weight)
-    solver = cutpursuit_exact if cfg.cp_backend == "exact" else cutpursuit_tpu
-    components, in_component = solver(
-        features,
-        graph_nn["source"],
-        graph_nn["target"],
-        w,
-        cfg.reg_strength,
-        cutoff=cfg.cp_cutoff,
-    )
+    if cfg.cp_backend == "exact":
+        components, in_component = cutpursuit_exact(
+            features, graph_nn["source"], graph_nn["target"], w,
+            cfg.reg_strength, cutoff=cfg.cp_cutoff,
+        )
+    else:
+        components, in_component = cutpursuit_tpu(
+            features, graph_nn["source"], graph_nn["target"], w,
+            cfg.reg_strength, cutoff=cfg.cp_cutoff,
+            xyz=np.asarray(xyz, np.float32),
+        )
     times["partition"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -201,13 +203,17 @@ def partition_clouds(
             t0 = time.perf_counter()
             features = assemble_partition_features(geof, rgb, cfg)
             w = edge_weights(graph_nn["distances"], cfg.lambda_edge_weight)
-            solver = (
-                cutpursuit_exact if cfg.cp_backend == "exact" else cutpursuit_tpu
-            )
-            components, in_component = solver(
-                features, graph_nn["source"], graph_nn["target"], w,
-                cfg.reg_strength, cutoff=cfg.cp_cutoff,
-            )
+            if cfg.cp_backend == "exact":
+                components, in_component = cutpursuit_exact(
+                    features, graph_nn["source"], graph_nn["target"], w,
+                    cfg.reg_strength, cutoff=cfg.cp_cutoff,
+                )
+            else:
+                components, in_component = cutpursuit_tpu(
+                    features, graph_nn["source"], graph_nn["target"], w,
+                    cfg.reg_strength, cutoff=cfg.cp_cutoff,
+                    xyz=np.asarray(xyz, np.float32),
+                )
             t_part = time.perf_counter() - t0
             t0 = time.perf_counter()
             graph_sp = compute_sp_graph(
