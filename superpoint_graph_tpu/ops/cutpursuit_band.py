@@ -271,8 +271,14 @@ def _solve_band(
             )
             for s in range(2 * icm_sweeps):
                 bw = band_windows(1.0 - 2.0 * b.astype(f.dtype), 0.0)
+                # batched matvec: the MXU reads w_intra once per sweep with no
+                # materialized [NB, B, WIN] broadcast product
+                band_field = jnp.einsum(
+                    "pbw,pw->pb", w_intra, bw,
+                    preferred_element_type=jnp.float32,
+                )
                 field = reg * (
-                    jnp.sum(w_intra * bw[:, None, :], axis=2).reshape(-1)
+                    band_field.reshape(-1)
                     + jax.ops.segment_sum(
                         of_intra_w * (1.0 - 2.0 * b[of_tgt].astype(f.dtype)),
                         of_src,
