@@ -326,6 +326,137 @@ def _solve_band(
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("k_adj", "of_cap"))
+def _prep_band_device(
+    f,          # [n_pad, d] features (original order, pads arbitrary)
+    idx_adj,    # [n_pad, k_adj] int32 kNN neighbors (pads self-referential ok)
+    d_adj,      # [n_pad, k_adj] f32 neighbor distances
+    perm,       # [n_pad] int32 Morton permutation (pads at the tail)
+    inv,        # [n_pad] int32 inverse permutation
+    n_real,     # scalar int32: number of real points
+    lam,        # scalar f32: lambda_edge_weight
+    *,
+    k_adj: int,
+    of_cap: int,
+):
+    """Device-side band construction straight from the kNN output — the
+    one-program partition path (nothing but the final labels crosses the
+    tunnel). Returns (f_p, band_w, of_src, of_tgt, of_w, nw, of_count)."""
+    n_pad = f.shape[0]
+    iota = jnp.arange(n_pad, dtype=jnp.int32)
+    real = iota < n_real
+
+    # directed kNN edges + reference edge weights (partition.py:175:
+    # w = 1/(lam + d/mean(d)), mean over real edges only)
+    src0 = jnp.repeat(iota, k_adj)
+    tgt0 = idx_adj.reshape(-1).astype(jnp.int32)
+    emask0 = real[src0]
+    d0 = jnp.sqrt(jnp.maximum(d_adj.reshape(-1), 0.0))
+    dmean = jnp.sum(jnp.where(emask0, d0, 0.0)) / jnp.maximum(
+        jnp.sum(emask0.astype(jnp.float32)), 1.0
+    )
+    w0 = jnp.where(emask0, 1.0 / (lam + d0 / jnp.maximum(dmean, 1e-12)), 0.0)
+
+    # symmetrize in Morton space
+    ps = inv[src0]
+    pt = inv[tgt0]
+    src = jnp.concatenate([ps, pt])
+    tgt = jnp.concatenate([pt, ps])
+    w = jnp.concatenate([w0, w0])
+
+    p = src // B
+    c = tgt - (p - HALO) * B
+    inband = (c >= 0) & (c < WIN) & (w > 0.0)
+    # 2D scatter (row, col) keeps indices int32 at any cloud size
+    band = jnp.zeros((n_pad, WIN), jnp.float32)
+    band = band.at[
+        jnp.where(inband, src, 0), jnp.where(inband, c, 0)
+    ].add(jnp.where(inband, w, 0.0))
+    band_w = band.reshape(n_pad // B, B, WIN)
+
+    # overflow edges -> compacted static-capacity list via cumsum positions
+    is_of = (~inband) & (w > 0.0)
+    pos = jnp.cumsum(is_of.astype(jnp.int32)) - 1
+    of_count = jnp.sum(is_of.astype(jnp.int32))
+    tgt_pos = jnp.where(is_of & (pos < of_cap), pos, of_cap)  # spill slot
+    of_src = jnp.zeros(of_cap + 1, jnp.int32).at[tgt_pos].set(src)[:of_cap]
+    of_tgt = jnp.zeros(of_cap + 1, jnp.int32).at[tgt_pos].set(tgt)[:of_cap]
+    of_w = (
+        jnp.zeros(of_cap + 1, jnp.float32)
+        .at[tgt_pos]
+        .set(jnp.where(is_of, w, 0.0))[:of_cap]
+    )
+
+    # pad rows' features can be NaN (geof of degenerate pad positions) —
+    # where-mask them to zero (a multiply would propagate the NaN)
+    real_p = real[perm]
+    f_p = jnp.where(real_p[:, None], f[perm], 0.0)
+    nw = real_p.astype(jnp.float32)
+    return f_p, band_w, of_src, of_tgt, of_w, nw, of_count
+
+
+def cutpursuit_band_device(
+    f_dev,
+    idx_adj_dev,
+    d2_adj_dev,
+    xyz: np.ndarray,
+    n: int,
+    reg_strength: float,
+    lambda_edge_weight: float = 1.0,
+    weight_decay: float = 0.7,
+    **solver_kw,
+):
+    """One-program cut pursuit over device-resident kNN output.
+
+    `f_dev` [n_pad, d], `idx_adj_dev`/`d2_adj_dev` [n_pad, k_adj] live on
+    device (from ops.knn + ops.geof); only the Morton permutation goes up and
+    only the final labels come back. Returns in_component [n] (pre-merge,
+    original order, root-densified)."""
+    n_pad = f_dev.shape[0]
+    assert n_pad % B == 0, "caller buckets n_pad to a power of two >= 1024"
+    perm = morton_order(np.asarray(xyz[:n]))
+    perm_full = np.concatenate([perm, np.arange(n, n_pad)]).astype(np.int32)
+    inv = np.empty(n_pad, np.int32)
+    inv[perm_full] = np.arange(n_pad, dtype=np.int32)
+
+    k_adj = idx_adj_dev.shape[1]
+    e_total = 2 * n_pad * k_adj
+    of_cap = max(4096, 1 << int(np.ceil(np.log2(max(e_total // 4, 2)))))
+    f_p, band_w, of_src, of_tgt, of_w, nw, of_count = _prep_band_device(
+        f_dev,
+        idx_adj_dev,
+        d2_adj_dev,
+        jnp.asarray(perm_full),
+        jnp.asarray(inv),
+        jnp.int32(n),
+        jnp.float32(lambda_edge_weight),
+        k_adj=k_adj,
+        of_cap=of_cap,
+    )
+    # compact the overflow list to its actual (bucketed) length: every CC
+    # round and ICM sweep runs segment ops over it, so the static worst-case
+    # cap would cost ~8x on typical (~5% overflow) graphs
+    of_n = int(jax.device_get(of_count))
+    if of_n > of_cap:  # pathological graph: caller must fall back
+        raise OverflowError(f"overflow edges {of_n} exceed cap {of_cap}")
+    cap2 = max(16384, 1 << int(np.ceil(np.log2(max(of_n, 2)))))
+    if cap2 < of_cap:
+        of_src, of_tgt, of_w = (
+            of_src[:cap2], of_tgt[:cap2], of_w[:cap2]
+        )
+    comp, _ = _solve_band(
+        f_p, band_w, of_src, of_tgt, of_w, nw,
+        jnp.float32(reg_strength), jnp.float32(weight_decay), **solver_kw,
+    )
+    comp_h = np.asarray(comp)
+    comp_h = comp_h[inv[:n]]  # back to original order
+    _, first_pos, invc = np.unique(
+        comp_h, return_index=True, return_inverse=True
+    )
+    order = np.argsort(np.argsort(first_pos))
+    return order[invc].astype(np.int32)
+
+
 @partial(jax.jit, static_argnames=("n",))
 def _build_band(n: int, flat_idx, flat_w):
     """Scatter in-window edge weights into the [NB, B, WIN] band (summing

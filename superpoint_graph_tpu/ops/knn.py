@@ -485,7 +485,8 @@ def compute_graph_nn(xyz: np.ndarray, k_nn: int):
 
 
 def compute_graph_nn_2(
-    xyz: np.ndarray, k_nn_adj: int, k_nn_geof: int, voronoi: float = 0.0
+    xyz: np.ndarray, k_nn_adj: int, k_nn_geof: int, voronoi: float = 0.0,
+    return_device: bool = False,
 ):
     """Adjacency graph + feature-neighborhood table in one search.
 
@@ -552,5 +553,11 @@ def compute_graph_nn_2(
         "target": target,
         "distances": distances,
     }
+    if return_device:
+        # un-sliced [n_pad, k] device handles for the one-program partition
+        # (cutpursuit_band_device) — pad rows' edges are masked there by
+        # src >= n
+        dev = {"idx": idx_dev, "d2": d2_dev, "n_pad": n_pad}
+        return graph, idx[:, :k_nn_geof], dev
     # device array (int32); callers needing uint32 numpy cast lazily
     return graph, idx[:, :k_nn_geof]

@@ -13,6 +13,7 @@ import dataclasses
 import time
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,13 +54,19 @@ class PartitionResult:
     times: dict  # features / partition / spg seconds
 
 
-def partition_features(xyz: np.ndarray, cfg: PartitionConfig):
+def partition_features(xyz: np.ndarray, cfg: PartitionConfig,
+                       return_device: bool = False):
     """kNN graphs + geometric features (the 'features' timing bucket).
 
     The geof neighbor table flows device-to-device from the kNN into the
     feature kernel — only the small adjacency graph and the 4-channel features
-    are fetched to host."""
-    graph_nn, target_geof = compute_graph_nn_2(xyz, cfg.k_nn_adj, cfg.k_nn_geof)
+    are fetched to host. With return_device the un-sliced device handles
+    (geof / adjacency kNN) are returned too, feeding the one-program
+    cut-pursuit path without re-uploading anything."""
+    out = compute_graph_nn_2(
+        xyz, cfg.k_nn_adj, cfg.k_nn_geof, return_device=return_device
+    )
+    graph_nn, target_geof = out[0], out[1]
     # bucket to a power of two so geof shares one executable across clouds
     n = len(xyz)
     n_pad = 1 << max(int(np.ceil(np.log2(max(n, 1024)))), 10)
@@ -67,8 +74,66 @@ def partition_features(xyz: np.ndarray, cfg: PartitionConfig):
     if n_pad > n:
         xyz_d = jnp.pad(xyz_d, ((0, n_pad - n), (0, 0)))
         target_geof = jnp.pad(target_geof, ((0, n_pad - n), (0, 0)))
-    geof = np.asarray(geof_ops.compute_geof(xyz_d, target_geof)[:n])
+    geof_dev = geof_ops.compute_geof(xyz_d, target_geof)
+    geof = np.asarray(geof_dev[:n])
+    if return_device:
+        dev = out[2]
+        dev["geof"] = geof_dev
+        return graph_nn, geof, dev
     return graph_nn, geof
+
+
+@jax.jit
+def _assemble_features_device(geof, rgb):
+    """Device analogue of assemble_partition_features (s3dis flavor)."""
+    g = geof * jnp.asarray([1.0, 1.0, 1.0, 2.0], geof.dtype)
+    return jnp.concatenate([g, rgb.astype(jnp.float32) / 255.0], axis=1)
+
+
+@jax.jit
+def _assemble_features_device_nocolor(geof):
+    g = geof * jnp.asarray([1.0, 1.0, 1.0, 2.0], geof.dtype)
+    return g
+
+
+def _cutpursuit_device_path(xyz, rgb, graph_nn, dev, cfg: PartitionConfig):
+    """One-program cut pursuit: band build + solve from device-resident kNN
+    output; host does only the Morton sort, the merge step, and densify."""
+    from .ops.cutpursuit import merge_regions
+    from .ops.cutpursuit_band import cutpursuit_band_device
+    from .ops.components import connected_components, group_components
+
+    n = len(xyz)
+    n_pad = dev["n_pad"]
+    use_color = cfg.dataset == "s3dis" and rgb is not None and len(rgb) > 0
+    if use_color:
+        rgb_p = np.zeros((n_pad, 3), np.uint8)
+        rgb_p[:n] = np.asarray(rgb, np.uint8)
+        f_dev = _assemble_features_device(dev["geof"], jnp.asarray(rgb_p))
+    else:
+        f_dev = _assemble_features_device_nocolor(dev["geof"])
+    in_comp = cutpursuit_band_device(
+        f_dev,
+        dev["idx"][:, : cfg.k_nn_adj],
+        dev["d2"][:, : cfg.k_nn_adj],
+        np.asarray(xyz, np.float32),
+        n,
+        cfg.reg_strength,
+        lambda_edge_weight=cfg.lambda_edge_weight,
+    )
+    # host backward (merge) step + cutoff over the already-fetched edge list
+    geof_host = np.asarray(dev["geof"][:n])
+    features = assemble_partition_features(geof_host, rgb if use_color else None, cfg)
+    src = np.asarray(graph_nn["source"], np.int64)
+    tgt = np.asarray(graph_nn["target"], np.int64)
+    w = edge_weights(graph_nn["distances"], cfg.lambda_edge_weight)
+    in_comp = merge_regions(
+        features, np.ones(n), in_comp, src, tgt, w, float(cfg.reg_strength)
+    )
+    if cfg.cp_cutoff > 0:
+        active = in_comp[src] == in_comp[tgt]
+        _, in_comp = connected_components(n, src, tgt, active, cfg.cp_cutoff)
+    return group_components(in_comp), in_comp.astype(np.int32)
 
 
 def assemble_partition_features(geof: np.ndarray, rgb, cfg: PartitionConfig):
@@ -109,13 +174,23 @@ def partition_cloud(
             n_labels,
             n_obj,
         )
-    graph_nn, geof = partition_features(np.asarray(xyz, np.float32), cfg)
+    device_cp = cfg.cp_backend == "tpu" and len(xyz) >= 16384
+    if device_cp:
+        graph_nn, geof, dev = partition_features(
+            np.asarray(xyz, np.float32), cfg, return_device=True
+        )
+    else:
+        graph_nn, geof = partition_features(np.asarray(xyz, np.float32), cfg)
     times["features"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     features = assemble_partition_features(geof, rgb, cfg)
     w = edge_weights(graph_nn["distances"], cfg.lambda_edge_weight)
-    if cfg.cp_backend == "exact":
+    if device_cp:
+        components, in_component = _cutpursuit_device_path(
+            xyz, rgb, graph_nn, dev, cfg
+        )
+    elif cfg.cp_backend == "exact":
         components, in_component = cutpursuit_exact(
             features, graph_nn["source"], graph_nn["target"], w,
             cfg.reg_strength, cutoff=cfg.cp_cutoff,
@@ -191,19 +266,30 @@ def partition_clouds(
                 rgb if rgb is not None else np.zeros((len(xyz), 3), np.uint8),
                 labels, objects, n_labels, n_obj,
             )
-        graph_nn, geof = partition_features(np.asarray(xyz, np.float32), cfg)
-        return xyz, rgb, labels, graph_nn, geof
+        device_cp = cfg.cp_backend == "tpu" and len(xyz) >= 16384
+        if device_cp:
+            graph_nn, geof, dev = partition_features(
+                np.asarray(xyz, np.float32), cfg, return_device=True
+            )
+        else:
+            graph_nn, geof = partition_features(np.asarray(xyz, np.float32), cfg)
+            dev = None
+        return xyz, rgb, labels, graph_nn, geof, dev
 
     with ThreadPoolExecutor(max_workers=1) as pool:
         fut = pool.submit(stage_a, clouds[0])
         for i in range(len(clouds)):
-            xyz, rgb, labels, graph_nn, geof = fut.result()
+            xyz, rgb, labels, graph_nn, geof, dev = fut.result()
             if i + 1 < len(clouds):
                 fut = pool.submit(stage_a, clouds[i + 1])
             t0 = time.perf_counter()
             features = assemble_partition_features(geof, rgb, cfg)
             w = edge_weights(graph_nn["distances"], cfg.lambda_edge_weight)
-            if cfg.cp_backend == "exact":
+            if dev is not None:
+                components, in_component = _cutpursuit_device_path(
+                    xyz, rgb, graph_nn, dev, cfg
+                )
+            elif cfg.cp_backend == "exact":
                 components, in_component = cutpursuit_exact(
                     features, graph_nn["source"], graph_nn["target"], w,
                     cfg.reg_strength, cutoff=cfg.cp_cutoff,
