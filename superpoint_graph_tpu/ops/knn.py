@@ -15,6 +15,7 @@ partition is declared stochastic, README.md:32, so the tail is immaterial).
 """
 from __future__ import annotations
 
+import time
 from functools import partial
 
 import jax
@@ -478,15 +479,352 @@ def knn_window(
     return out_idx.astype(np.int32), out_d2
 
 
+# ---------------------------------------------------------------------------
+# Big-cloud kNN: sorted-cell contiguous-slice search (the production path for
+# clouds beyond brute-force reach — the reference handles these with a
+# KD-tree + 24 GB of RAM, graphs.py:26-73 + Semantic3D.md:11).
+#
+# Design (TPU-first; fixes both measured dead ends in ROADMAP.md):
+#   * points are sorted once by lexicographic cell id (cell size h chosen from
+#     a sampled exact k-NN radius quantile, NOT from a uniform-3D-density
+#     guess — the failure of the old `knn_grid` on surface clouds);
+#   * a query's 27-cell neighborhood = 9 (dx,dy) column offsets x a contiguous
+#     z-run, and because z is the fastest key axis each (dx,dy) offset is ONE
+#     contiguous slice of the sorted array — so candidates arrive via
+#     `dynamic_slice` + one MXU matmul per pass, never random gathers (the
+#     failure of `knn_grid`), and validity is a cheap per-candidate cell
+#     coordinate comparison;
+#   * exactness is *verified*, not hoped for (the failure of `knn_window`):
+#     any query whose found k-th distance exceeds h — i.e. whose true
+#     neighbors might lie outside the 27-cell block — is re-solved by blocked
+#     brute force. Geometry misses therefore cost time, not recall.
+# ---------------------------------------------------------------------------
+
+_CELL_OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "block_q", "window", "recall_target"),
+)
+def _knn_cells_blocks_device(
+    xyz_sorted: jax.Array,     # [n_pad, 3] f32, pad rows at +1e17 (staggered)
+    coords_sorted: jax.Array,  # [n_pad, 3] i32 cell coords, pad rows huge
+    starts: jax.Array,         # [m, 9] i32 window starts per pass, per block
+    blk_ids: jax.Array,        # [m] i32 block-row ids to process
+    *,
+    k: int,
+    block_q: int,
+    window: int,
+    recall_target: float = 0.999,
+):
+    """kNN for the listed block rows only — the caller groups blocks into
+    window-size buckets so dense regions don't inflate everyone's candidate
+    window (HBM traffic scales with the *needed* span, measured 4.5x; see
+    BASELINE.md). Returns (indices [m, block_q, k] into sorted order,
+    exact sq-distances)."""
+    n_pad = xyz_sorted.shape[0]
+    sq = jnp.sum(xyz_sorted * xyz_sorted, axis=-1)
+    w_iota = jnp.arange(window, dtype=jnp.int32)
+
+    def per_block(args):
+        start_row, blk_idx = args
+        bq = block_q
+        q_xyz = jax.lax.dynamic_slice(
+            xyz_sorted, (blk_idx * block_q, 0), (block_q, 3)
+        )
+        q_coord = jax.lax.dynamic_slice(
+            coords_sorted, (blk_idx * block_q, 0), (block_q, 3)
+        )
+        q_pos = blk_idx * block_q + jnp.arange(bq, dtype=jnp.int32)
+        sq_q = jnp.sum(q_xyz * q_xyz, axis=-1, keepdims=True)
+        # per-pass approx_min_k, merged once at the end. (Selecting over one
+        # concatenated [bq, 9*window] row would be a single PartialReduce, but
+        # that shape reliably faults the TPU compiler — measured 2026-08.)
+        cd_parts, ci_parts = [], []
+        for p, (dx, dy) in enumerate(_CELL_OFFSETS):
+            s = jnp.clip(start_row[p], 0, n_pad - window)
+            c_xyz = jax.lax.dynamic_slice(xyz_sorted, (s, 0), (window, 3))
+            c_coord = jax.lax.dynamic_slice(
+                coords_sorted, (s, 0), (window, 3)
+            )
+            c_sq = jax.lax.dynamic_slice(sq, (s,), (window,))
+            c_pos = s + w_iota
+            d2 = sq_q + c_sq[None, :] - 2.0 * jnp.dot(
+                q_xyz, c_xyz.T,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            # a candidate is valid for query q iff it lies in cell
+            # (qx+dx, qy+dy, qz-1..qz+1) and is not q itself
+            valid = (
+                (c_coord[None, :, 0] == q_coord[:, None, 0] + dx)
+                & (c_coord[None, :, 1] == q_coord[:, None, 1] + dy)
+                & (jnp.abs(c_coord[None, :, 2] - q_coord[:, None, 2]) <= 1)
+                & (c_pos[None, :] != q_pos[:, None])
+            )
+            d2 = jnp.where(valid, d2, _INF)
+            cd, sel = jax.lax.approx_min_k(
+                d2, k, recall_target=recall_target
+            )
+            cd_parts.append(cd)
+            ci_parts.append(c_pos[sel])
+        cat_d = jnp.concatenate(cd_parts, axis=1)        # [bq, 9*k]
+        cat_i = jnp.concatenate(ci_parts, axis=1)
+        neg, arg = jax.lax.top_k(-cat_d, k)
+        best_d = -neg
+        best_i = jnp.take_along_axis(cat_i, arg, axis=1)
+        # exact re-rank: the |q|^2+|p|^2-2qp distances lose ~1e-2 to f32
+        # cancellation; recompute (q-p)^2 for the k winners
+        diff = q_xyz[:, None, :] - xyz_sorted[best_i]
+        exact = jnp.sum(diff * diff, axis=-1)
+        exact = jnp.where(best_d >= _INF / 2, _INF, exact)
+        neg, arg = jax.lax.top_k(-exact, k)
+        return jnp.take_along_axis(best_i, arg, axis=1), jnp.maximum(-neg, 0.0)
+
+    return jax.lax.map(per_block, (starts, blk_ids))
+
+
+@partial(jax.jit, static_argnames=("k",), donate_argnums=(0, 1))
+def _remap_sorted_to_original(best_i_s, best_d2_s, order, inv, *, k):
+    """Sorted-order kNN table -> original point order (row permute + id map).
+    Donates the sorted tables so XLA can reuse their HBM (they are dead after
+    this call — at 1e7x45 each table is ~1.8 GB)."""
+    idx_orig = order[best_i_s]
+    return idx_orig[inv], best_d2_s[inv]
+
+
+def _sample_knn_radius(
+    xyz: np.ndarray, k: int, sample: int = 1024, quantile: float = 0.99
+) -> tuple[float, np.ndarray]:
+    """Exact k-th-neighbor distance for a random sample of points (blocked
+    brute force on device); returns (quantile radius, per-sample r_k)."""
+    n = len(xyz)
+    rs = np.random.RandomState(0)
+    sel = rs.choice(n, size=min(sample, n), replace=False)
+    q = np.ascontiguousarray(xyz[sel], np.float32)
+    bq = 256
+    mq = -(-len(q) // bq) * bq
+    if mq > len(q):
+        q = np.concatenate([q, np.full((mq - len(q), 3), 2e17, np.float32)])
+    bdb = 65536
+    ndb = -(-n // bdb) * bdb
+    db = np.asarray(xyz, np.float32)
+    if ndb > n:
+        far = np.full((ndb - n, 3), 1e17, np.float32) + np.arange(
+            ndb - n, dtype=np.float32
+        )[:, None]
+        db = np.concatenate([db, far])
+    idx, d2 = knn_vs_db(
+        jnp.asarray(q), jnp.asarray(db), k + 1,
+        block_q=bq, block_db=bdb, recall_target=0.9999,
+    )
+    idx = np.asarray(idx[: len(sel)])
+    d2 = np.asarray(d2[: len(sel)])
+    # drop the self column (d==0 at own index)
+    is_self = idx == sel[:, None]
+    order = np.argsort(np.where(is_self, -1.0, d2), axis=1)
+    d2_sorted = np.take_along_axis(d2, order, axis=1)
+    r_k = np.sqrt(np.maximum(d2_sorted[:, k], 0.0))
+    return float(np.quantile(r_k, quantile)), r_k
+
+
+def knn_bigcloud(
+    xyz: np.ndarray,
+    k: int,
+    *,
+    block_q: int = 512,
+    window_cap: int = 8192,
+    cell_margin: float = 1.05,
+    recall_target: float = 0.999,
+    return_sorted_device: bool = False,
+):
+    """Scalable kNN for clouds beyond brute-force reach (1e6 .. 1e8 points).
+
+    Replaces the reference's KD-tree (graphs.py:26, 24 GB RAM at Semantic3D
+    scale, Semantic3D.md:11) with the sorted-cell contiguous-slice search
+    described above. Memory is O(n + block_q * window); compute is
+    O(n * 9 * window) MXU flops + one host argsort.
+
+    Returns (indices [n, k] int32 in ORIGINAL order, exact sq-distances) as
+    device arrays. With return_sorted_device also returns a dict with the
+    sorted-order device tables and the permutation (for callers that keep
+    working in sorted order).
+    """
+    xyz = np.ascontiguousarray(xyz, np.float32)
+    n = len(xyz)
+    assert n > k, "need more points than neighbors"
+    t_stage = {}
+    t0 = time.perf_counter()
+
+    h, _ = _sample_knn_radius(xyz, k)
+    h = max(h * cell_margin, 1e-6)
+    t_stage["radius_sample"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    mins = xyz.min(0)
+    coords = np.floor((xyz - mins) / h).astype(np.int64)
+    dims = coords.max(0) + 1
+    key = (coords[:, 0] * dims[1] + coords[:, 1]) * dims[2] + coords[:, 2]
+    order = np.argsort(key, kind="stable").astype(np.int32)
+    key_s = key[order]
+
+    # pad to a power-of-two block count so differently-sized clouds share
+    # executables (small clouds only — at >2M points the up-to-2x padded
+    # compute and HBM dwarf the one-off compile, so pad to the exact multiple)
+    if n <= 2_000_000:
+        n_pad = block_q * (
+            1 << int(np.ceil(np.log2(max(-(-n // block_q), 1))))
+        )
+    else:
+        n_pad = -(-n // block_q) * block_q
+    xyz_s = np.full((n_pad, 3), 1e17, np.float32)
+    xyz_s[:n] = xyz[order]
+    xyz_s[n:] += np.arange(n_pad - n, dtype=np.float32)[:, None]
+    coords_s = np.full((n_pad, 3), 1 << 30, np.int32)
+    coords_s[:n] = coords[order].astype(np.int32)
+
+    # per-block contiguous window [start, end) per (dx,dy) pass: keys are
+    # sorted, so the block min/max key give the bounds directly
+    n_blocks = n_pad // block_q
+    first = key_s[np.minimum(np.arange(n_blocks) * block_q, n - 1)]
+    last = key_s[np.minimum((np.arange(n_blocks) + 1) * block_q - 1, n - 1)]
+    offs = np.array(
+        [(dx * dims[1] + dy) * dims[2] for dx, dy in _CELL_OFFSETS], np.int64
+    )
+    starts = np.empty((n_blocks, 9), np.int32)
+    spans = np.empty((n_blocks, 9), np.int64)
+    for p in range(9):
+        s = np.searchsorted(key_s, first + offs[p] - 1, side="left")
+        e = np.searchsorted(key_s, last + offs[p] + 1, side="right")
+        starts[:, p] = s
+        spans[:, p] = e - s
+    # bucket blocks by the window size they actually need: dense regions would
+    # otherwise inflate every block's candidate window (and the kernel is
+    # HBM-bound on the [block_q, window] tiles)
+    need = spans.max(axis=1)
+    window_cap = min(window_cap, n_pad)
+    sizes = []
+    s_ = 512
+    while s_ < window_cap:
+        sizes.append(s_)
+        s_ *= 2
+    sizes.append(window_cap)
+    # blocks whose window was truncated can miss candidates -> their queries
+    # join the exact-fallback set below
+    truncated = need > window_cap
+    t_stage["sort_and_windows"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+
+    xs_d = jnp.asarray(xyz_s)
+    cs_d = jnp.asarray(coords_s)
+    out_i = jnp.zeros((n_blocks + 1, block_q, k), jnp.int32)
+    out_d = jnp.full((n_blocks + 1, block_q, k), _INF, jnp.float32)
+    lo = 0
+    window = 0
+    for size in sizes:
+        in_bucket = (need > lo) & (np.minimum(need, window_cap) <= size)
+        lo = size
+        m = int(in_bucket.sum())
+        if m == 0:
+            continue
+        window = max(window, size)
+        blk = np.where(in_bucket)[0].astype(np.int32)
+        m_pad = 1 << int(np.ceil(np.log2(max(m, 8))))
+        blk_p = np.full(m_pad, n_blocks, np.int32)  # dummies -> spare row
+        blk_p[:m] = blk
+        st_p = np.zeros((m_pad, 9), np.int32)
+        st_p[:m] = starts[blk]
+        bi_b, bd_b = _knn_cells_blocks_device(
+            xs_d, cs_d, jnp.asarray(st_p), jnp.asarray(blk_p),
+            k=k, block_q=block_q, window=size,
+            recall_target=recall_target,
+        )
+        # duplicate dummy ids all land on the spare row (discarded below)
+        out_i = out_i.at[jnp.asarray(blk_p)].set(bi_b)
+        out_d = out_d.at[jnp.asarray(blk_p)].set(bd_b)
+    best_i_s = out_i[:n_blocks].reshape(n_pad, k)
+    best_d2_s = out_d[:n_blocks].reshape(n_pad, k)
+    order_d = jnp.asarray(
+        np.concatenate([order, np.arange(n, n_pad, dtype=np.int32)])
+    )
+    inv = np.empty(n_pad, np.int32)
+    inv[np.asarray(order_d)] = np.arange(n_pad, dtype=np.int32)
+    if return_sorted_device:
+        sorted_idx, sorted_d2 = best_i_s, best_d2_s
+        best_i, best_d2 = _remap_sorted_to_original(
+            best_i_s + 0, best_d2_s + 0, order_d, jnp.asarray(inv), k=k
+        )
+    else:
+        best_i, best_d2 = _remap_sorted_to_original(
+            best_i_s, best_d2_s, order_d, jnp.asarray(inv), k=k
+        )
+    best_i.block_until_ready()
+    t_stage["device_search"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+
+    # exactness check: if the found k-th distance <= h, the true neighbor ball
+    # lies inside the 27-cell block and the result is provably complete
+    # (modulo approx_min_k recall); otherwise re-solve exactly
+    bad = np.array(best_d2[:n, k - 1] > jnp.float32(h * h))
+    if truncated.any():
+        for b in np.where(truncated)[0]:
+            lo, hi = b * block_q, min((b + 1) * block_q, n)
+            if lo < n:
+                bad[order[lo:hi]] = True
+    n_bad = int(bad.sum())
+    if n_bad:
+        fidx = np.where(bad)[0]
+        bq = 256
+        mq = -(-n_bad // bq) * bq
+        q = np.full((mq, 3), 2e17, np.float32)
+        q[:n_bad] = xyz[fidx]
+        bdb = 65536
+        ndb = -(-n // bdb) * bdb
+        db = np.full((ndb, 3), 0, np.float32)
+        db[:n] = xyz
+        if ndb > n:
+            db[n:] = 1e17 + np.arange(ndb - n, dtype=np.float32)[:, None]
+        fi, fd = knn_vs_db(
+            jnp.asarray(q), jnp.asarray(db), k + 1,
+            block_q=bq, block_db=bdb, recall_target=0.9999,
+        )
+        fi = np.asarray(fi[:n_bad])
+        fd = np.asarray(fd[:n_bad])
+        is_self = fi == fidx[:, None]
+        ordr = np.argsort(np.where(is_self, _INF, fd), axis=1)[:, :k]
+        fi = np.take_along_axis(fi, ordr, axis=1).astype(np.int32)
+        fd = np.take_along_axis(fd, ordr, axis=1)
+        best_i = best_i.at[jnp.asarray(fidx)].set(jnp.asarray(fi))
+        best_d2 = best_d2.at[jnp.asarray(fidx)].set(jnp.asarray(fd))
+
+    t_stage["check_and_fallback"] = time.perf_counter() - t0
+    info = {
+        "h": h,
+        "window": window,
+        "n_fallback": n_bad,
+        "n_blocks": n_blocks,
+        "stage_seconds": {k_: round(v, 3) for k_, v in t_stage.items()},
+    }
+    if return_sorted_device:
+        info.update(
+            sorted_idx=sorted_idx, sorted_d2=sorted_d2,
+            order=order_d, inv=jnp.asarray(inv), n_pad=n_pad,
+        )
+    return best_i[:n], best_d2[:n], info
+
+
 def compute_graph_nn(xyz: np.ndarray, k_nn: int):
     """Single-k kNN graph (reference graphs.py:11-24)."""
     graph, _ = compute_graph_nn_2(xyz, k_nn, k_nn)
     return graph
 
 
+BIGCLOUD_THRESHOLD = 300_000  # points; above this brute force stops paying
+
+
 def compute_graph_nn_2(
     xyz: np.ndarray, k_nn_adj: int, k_nn_geof: int, voronoi: float = 0.0,
-    return_device: bool = False,
+    return_device: bool = False, bigcloud_threshold: int | None = None,
 ):
     """Adjacency graph + feature-neighborhood table in one search.
 
@@ -505,18 +843,27 @@ def compute_graph_nn_2(
     """
     assert k_nn_adj <= k_nn_geof
     n = xyz.shape[0]
+    if bigcloud_threshold is None:
+        bigcloud_threshold = BIGCLOUD_THRESHOLD
     # bucket the cloud size to the next power of two so differently-sized
     # clouds share one compiled executable (pad points live at +1e17 and are
     # sliced away; they can never enter a real point's top-k)
     n_pad = 1 << max(int(np.ceil(np.log2(max(n, 1024)))), 10)
-    if n_pad > n:
-        far = np.full((n_pad - n, 3), 1e17, np.float32) + np.arange(
-            n_pad - n, dtype=np.float32
-        )[:, None]
-        xyz_in = np.concatenate([np.asarray(xyz, np.float32), far])
+    if n > bigcloud_threshold:
+        # sorted-cell search: O(n*window) instead of O(n^2); exactness
+        # verified per point (see knn_bigcloud)
+        bi, bd2, _ = knn_bigcloud(np.asarray(xyz, np.float32), k_nn_geof)
+        idx_dev = jnp.pad(bi, ((0, n_pad - n), (0, 0)))
+        d2_dev = jnp.pad(bd2, ((0, n_pad - n), (0, 0)), constant_values=_INF)
     else:
-        xyz_in = np.asarray(xyz, np.float32)
-    idx_dev, d2_dev = knn(jnp.asarray(xyz_in, jnp.float32), k_nn_geof)
+        if n_pad > n:
+            far = np.full((n_pad - n, 3), 1e17, np.float32) + np.arange(
+                n_pad - n, dtype=np.float32
+            )[:, None]
+            xyz_in = np.concatenate([np.asarray(xyz, np.float32), far])
+        else:
+            xyz_in = np.asarray(xyz, np.float32)
+        idx_dev, d2_dev = knn(jnp.asarray(xyz_in, jnp.float32), k_nn_geof)
     # fetch only the adjacency columns (k_adj << k_geof); the geof neighbor
     # table stays ON DEVICE for ops/geof — device->host transfers over a
     # tunneled chip are the hidden cost of the features stage
