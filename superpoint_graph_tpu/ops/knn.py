@@ -503,40 +503,56 @@ def knn_window(
 _CELL_OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows(dst, row_ids, values):
+    """dst[row_ids] = values, donating dst (in-place update of the big
+    result tables; at 1e7x45 each is ~1.8 GB)."""
+    return dst.at[row_ids].set(values)
+
+
+@jax.jit
+def _sort_gather(xyz_dev, order, mins, inv_h):
+    """Device-side layout for one level: gather sorted xyz, derive cell
+    coords (int32 per axis — never a linear int64 key on device). Pad rows
+    (xyz ~1e17) clip to a huge sentinel coord no real cell can match."""
+    xs = xyz_dev[order]
+    cs = jnp.floor((xs - mins[None, :]) * inv_h)
+    cs = jnp.clip(cs, -(2.0**30), 2.0**30).astype(jnp.int32)
+    return xs, cs
+
+
+@jax.jit
+def _gather_queries(xs, cs, qpos2d):
+    return xs[qpos2d], cs[qpos2d]
+
+
 @partial(
     jax.jit,
-    static_argnames=("k", "block_q", "window", "recall_target"),
+    static_argnames=("k", "window", "recall_target"),
 )
-def _knn_cells_blocks_device(
-    xyz_sorted: jax.Array,     # [n_pad, 3] f32, pad rows at +1e17 (staggered)
-    coords_sorted: jax.Array,  # [n_pad, 3] i32 cell coords, pad rows huge
+def _knn_cells_q_device(
+    xyz_sorted: jax.Array,     # [n_db, 3] f32, pad rows at +1e17 (staggered)
+    coords_sorted: jax.Array,  # [n_db, 3] i32 cell coords, pad rows huge
+    q_xyz: jax.Array,          # [m, bq, 3] query blocks (cell-key sorted)
+    q_coord: jax.Array,        # [m, bq, 3]
+    q_pos: jax.Array,          # [m, bq] query's own sorted position (-1: pad)
     starts: jax.Array,         # [m, 9] i32 window starts per pass, per block
-    blk_ids: jax.Array,        # [m] i32 block-row ids to process
     *,
     k: int,
-    block_q: int,
     window: int,
     recall_target: float = 0.999,
 ):
-    """kNN for the listed block rows only — the caller groups blocks into
-    window-size buckets so dense regions don't inflate everyone's candidate
-    window (HBM traffic scales with the *needed* span, measured 4.5x; see
-    BASELINE.md). Returns (indices [m, block_q, k] into sorted order,
-    exact sq-distances)."""
+    """kNN of the query blocks against the cell-sorted cloud. The caller
+    groups query blocks into window-size buckets so dense regions don't
+    inflate everyone's candidate window (selection cost scales with candidate
+    volume). Returns (positions [m, bq, k] into sorted order, exact sq-d)."""
     n_pad = xyz_sorted.shape[0]
     sq = jnp.sum(xyz_sorted * xyz_sorted, axis=-1)
     w_iota = jnp.arange(window, dtype=jnp.int32)
 
     def per_block(args):
-        start_row, blk_idx = args
-        bq = block_q
-        q_xyz = jax.lax.dynamic_slice(
-            xyz_sorted, (blk_idx * block_q, 0), (block_q, 3)
-        )
-        q_coord = jax.lax.dynamic_slice(
-            coords_sorted, (blk_idx * block_q, 0), (block_q, 3)
-        )
-        q_pos = blk_idx * block_q + jnp.arange(bq, dtype=jnp.int32)
+        q_xyz, q_coord, q_pos, start_row = args
+        bq = q_xyz.shape[0]
         sq_q = jnp.sum(q_xyz * q_xyz, axis=-1, keepdims=True)
         # per-pass approx_min_k, merged once at the end. (Selecting over one
         # concatenated [bq, 9*window] row would be a single PartialReduce, but
@@ -582,7 +598,7 @@ def _knn_cells_blocks_device(
         neg, arg = jax.lax.top_k(-exact, k)
         return jnp.take_along_axis(best_i, arg, axis=1), jnp.maximum(-neg, 0.0)
 
-    return jax.lax.map(per_block, (starts, blk_ids))
+    return jax.lax.map(per_block, (q_xyz, q_coord, q_pos, starts))
 
 
 @partial(jax.jit, static_argnames=("k",), donate_argnums=(0, 1))
@@ -633,157 +649,194 @@ def knn_bigcloud(
     xyz: np.ndarray,
     k: int,
     *,
-    block_q: int = 512,
+    block_q: int = 128,
     window_cap: int = 8192,
-    cell_margin: float = 1.05,
     recall_target: float = 0.999,
-    return_sorted_device: bool = False,
+    level_quantiles: tuple = ((0.9, 1.1), (0.999, 1.25)),
+    extra_level_factor: float = 3.0,
+    n_extra_levels: int = 2,
 ):
     """Scalable kNN for clouds beyond brute-force reach (1e6 .. 1e8 points).
 
     Replaces the reference's KD-tree (graphs.py:26, 24 GB RAM at Semantic3D
-    scale, Semantic3D.md:11) with the sorted-cell contiguous-slice search
-    described above. Memory is O(n + block_q * window); compute is
-    O(n * 9 * window) MXU flops + one host argsort.
+    scale, Semantic3D.md:11) with a MULTI-LEVEL sorted-cell search: level 0
+    uses tight cells sized from the median sampled k-NN radius (cheap, covers
+    the dense bulk), each later level re-solves only the points whose
+    exactness certificate (found d_k <= h) failed, with geometrically larger
+    cells; the (tiny) remainder falls back to blocked brute force. Memory is
+    O(n); compute is O(n * mean candidate volume) MXU/VPU work plus one host
+    argsort per level.
 
-    Returns (indices [n, k] int32 in ORIGINAL order, exact sq-distances) as
-    device arrays. With return_sorted_device also returns a dict with the
-    sorted-order device tables and the permutation (for callers that keep
-    working in sorted order).
+    Returns (indices [n, k] int32 in ORIGINAL order, exact sq-distances,
+    info) — index/distance tables are device-resident.
     """
     xyz = np.ascontiguousarray(xyz, np.float32)
     n = len(xyz)
     assert n > k, "need more points than neighbors"
-    t_stage = {}
+    t_stage = {"sort_and_windows": 0.0, "device_search": 0.0}
     t0 = time.perf_counter()
 
-    h, _ = _sample_knn_radius(xyz, k)
-    h = max(h * cell_margin, 1e-6)
+    _, rk = _sample_knn_radius(xyz, k)
+    ladder = [
+        max(float(np.quantile(rk, q)) * m, 1e-6) for q, m in level_quantiles
+    ]
+    for j in range(n_extra_levels):
+        ladder.append(ladder[-1] * extra_level_factor)
+    ladder = sorted(set(ladder))
     t_stage["radius_sample"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
+
     mins = xyz.min(0)
-    coords = np.floor((xyz - mins) / h).astype(np.int64)
-    dims = coords.max(0) + 1
-    key = (coords[:, 0] * dims[1] + coords[:, 1]) * dims[2] + coords[:, 2]
-    order = np.argsort(key, kind="stable").astype(np.int32)
-    key_s = key[order]
+    # one padded upload: rows n.. are far-away staggered pad points used to
+    # fill candidate windows that run past the end of the sorted array
+    n_db = n + 4 * window_cap
+    xyz_pad = np.full((n_db, 3), 1e17, np.float32)
+    xyz_pad[:n] = xyz
+    xyz_pad[n:] += np.arange(n_db - n, dtype=np.float32)[:, None]
+    xyz_dev = jnp.asarray(xyz_pad)
+    mins_dev = jnp.asarray(mins)
 
-    # pad to a power-of-two block count so differently-sized clouds share
-    # executables (small clouds only — at >2M points the up-to-2x padded
-    # compute and HBM dwarf the one-off compile, so pad to the exact multiple)
-    if n <= 2_000_000:
-        n_pad = block_q * (
-            1 << int(np.ceil(np.log2(max(-(-n // block_q), 1))))
+    out_i = jnp.zeros((n + 1, k), jnp.int32)  # row n = spare for padding
+    out_d = jnp.full((n + 1, k), _INF, jnp.float32)
+    pending = np.arange(n, dtype=np.int64)
+    level_stats = []
+
+    for h in ladder:
+        # after level 0, a small straggler set is cheaper to brute-force
+        # exactly than to re-sort the cloud for another level
+        if len(pending) == 0 or (
+            level_stats and len(pending) * n < 4e9
+        ):
+            break
+        t0 = time.perf_counter()
+        # few pending queries cluster tightly in key space: small blocks keep
+        # their windows near the per-column occupancy instead of the span of
+        # 128 scattered queries (coarse levels would otherwise drown in
+        # truncation); cap grows since per-level work is bounded by P
+        if len(pending) > 65536:
+            bq_lvl, cap_lvl = block_q, window_cap
+        else:
+            bq_lvl, cap_lvl = 8, 4 * window_cap
+        coords = np.floor((xyz - mins) / h).astype(np.int64)
+        dims = coords.max(0) + 1
+        key = (coords[:, 0] * dims[1] + coords[:, 1]) * dims[2] + coords[:, 2]
+        order = np.argsort(key, kind="stable").astype(np.int32)
+        key_s = key[order]
+        inv = np.empty(n, np.int32)
+        inv[order] = np.arange(n, dtype=np.int32)
+        order_full = np.concatenate(
+            [order, np.arange(n, n_db, dtype=np.int32)]
         )
-    else:
-        n_pad = -(-n // block_q) * block_q
-    xyz_s = np.full((n_pad, 3), 1e17, np.float32)
-    xyz_s[:n] = xyz[order]
-    xyz_s[n:] += np.arange(n_pad - n, dtype=np.float32)[:, None]
-    coords_s = np.full((n_pad, 3), 1 << 30, np.int32)
-    coords_s[:n] = coords[order].astype(np.int32)
 
-    # per-block contiguous window [start, end) per (dx,dy) pass: keys are
-    # sorted, so the block min/max key give the bounds directly
-    n_blocks = n_pad // block_q
-    first = key_s[np.minimum(np.arange(n_blocks) * block_q, n - 1)]
-    last = key_s[np.minimum((np.arange(n_blocks) + 1) * block_q - 1, n - 1)]
-    offs = np.array(
-        [(dx * dims[1] + dy) * dims[2] for dx, dy in _CELL_OFFSETS], np.int64
-    )
-    starts = np.empty((n_blocks, 9), np.int32)
-    spans = np.empty((n_blocks, 9), np.int64)
-    for p in range(9):
-        s = np.searchsorted(key_s, first + offs[p] - 1, side="left")
-        e = np.searchsorted(key_s, last + offs[p] + 1, side="right")
-        starts[:, p] = s
-        spans[:, p] = e - s
-    # bucket blocks by the window size they actually need: dense regions would
-    # otherwise inflate every block's candidate window (and the kernel is
-    # HBM-bound on the [block_q, window] tiles)
-    need = spans.max(axis=1)
-    window_cap = min(window_cap, n_pad)
-    sizes = []
-    s_ = 512
-    while s_ < window_cap:
-        sizes.append(s_)
-        s_ *= 2
-    sizes.append(window_cap)
-    # blocks whose window was truncated can miss candidates -> their queries
-    # join the exact-fallback set below
-    truncated = need > window_cap
-    t_stage["sort_and_windows"] = time.perf_counter() - t0
+        qs = pending[np.argsort(key[pending], kind="stable")]
+        qkey = key[qs]
+        qpos = inv[qs]
+        P = len(qs)
+        m = -(-P // bq_lvl)
+        first = qkey[np.minimum(np.arange(m) * bq_lvl, P - 1)]
+        last = qkey[np.minimum((np.arange(m) + 1) * bq_lvl - 1, P - 1)]
+        offs = np.array(
+            [(dx * dims[1] + dy) * dims[2] for dx, dy in _CELL_OFFSETS],
+            np.int64,
+        )
+        starts = np.empty((m, 9), np.int32)
+        spans = np.empty((m, 9), np.int64)
+        for p in range(9):
+            s = np.searchsorted(key_s, first + offs[p] - 1, side="left")
+            e = np.searchsorted(key_s, last + offs[p] + 1, side="right")
+            starts[:, p] = s
+            spans[:, p] = e - s
+        need = spans.max(axis=1)
+        truncated = need > cap_lvl
+        t_stage["sort_and_windows"] += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        order_dev = jnp.asarray(order_full)
+        xs, cs = _sort_gather(
+            xyz_dev, order_dev, mins_dev, jnp.float32(1.0 / h)
+        )
+        # pad the query list to full blocks with the last far pad row
+        P_pad = m * bq_lvl
+        qpos_p = np.full(P_pad, n_db - 1, np.int32)
+        qpos_p[:P] = qpos
+        qpos2d = qpos_p.reshape(m, bq_lvl)
+        qs_p = np.full(P_pad, n, np.int64)  # spare out-row for pad queries
+        qs_p[:P] = qs
+
+        bad = np.zeros(P_pad, bool)
+        bad[:P] |= truncated[np.arange(P) // bq_lvl]
+        sizes = []
+        s_ = 256
+        cap = min(cap_lvl, n_db)
+        while s_ < cap:
+            sizes.append(s_)
+            s_ *= 2
+        sizes.append(cap)
+        lo = 0
+        for size in sizes:
+            in_bucket = (need > lo) & (np.minimum(need, cap) <= size)
+            lo = size
+            mb = int(in_bucket.sum())
+            if mb == 0:
+                continue
+            blk_all = np.where(in_bucket)[0].astype(np.int32)
+            # chunked launches bound the transient [chunk*bq, k] result
+            # arrays (the full level-0 bucket at 1e7 points is ~5 GB of
+            # transients — past HBM together with the persistent tables)
+            chunk_blocks = 8192
+            for c0 in range(0, mb, chunk_blocks):
+                blk = blk_all[c0 : c0 + chunk_blocks]
+                mbc = len(blk)
+                mb_pad = 1 << int(np.ceil(np.log2(max(mbc, 4))))
+                blk_p = np.zeros(mb_pad, np.int32)
+                blk_p[:mbc] = blk
+                qpos_b = jnp.asarray(qpos2d[blk_p])
+                st_b = jnp.asarray(starts[blk_p])
+                q_xyz, q_coord = _gather_queries(xs, cs, qpos_b)
+                pos_b, d2_b = _knn_cells_q_device(
+                    xs, cs, q_xyz, q_coord, qpos_b, st_b,
+                    k=k, window=size, recall_target=recall_target,
+                )
+                ids_b = order_dev[pos_b]                 # -> original ids
+                # rows of `out` to write: original query ids (pad -> spare
+                # row n; duplicate dummy blocks rewrite rows identically)
+                rows = qs_p.reshape(m, bq_lvl)[blk_p].reshape(-1)
+                rows_dev = jnp.asarray(rows.astype(np.int32))
+                out_i = _scatter_rows(out_i, rows_dev, ids_b.reshape(-1, k))
+                out_d = _scatter_rows(out_d, rows_dev, d2_b.reshape(-1, k))
+                # certificate: found d_k <= h => provably complete
+                bad_b = np.asarray(
+                    d2_b[:, :, k - 1] > jnp.float32(h * h)
+                ).reshape(-1)
+                flat = (
+                    blk_p[:, None] * bq_lvl
+                    + np.arange(bq_lvl, dtype=np.int64)[None, :]
+                ).reshape(-1)
+                keep = np.zeros(mb_pad * bq_lvl, bool)
+                keep[: mbc * bq_lvl] = True
+                np.logical_or.at(bad, flat[keep], bad_b[keep])
+        level_stats.append(
+            {"h": round(h, 5), "queries": int(P),
+             "bad": int(bad[:P].sum())}
+        )
+        pending = qs_p[:P][bad[:P]]
+        t_stage["device_search"] += time.perf_counter() - t0
+
+    # exact blocked brute force for the stragglers (isolated points whose
+    # k-NN ball outgrew every ladder level)
     t0 = time.perf_counter()
-
-    xs_d = jnp.asarray(xyz_s)
-    cs_d = jnp.asarray(coords_s)
-    out_i = jnp.zeros((n_blocks + 1, block_q, k), jnp.int32)
-    out_d = jnp.full((n_blocks + 1, block_q, k), _INF, jnp.float32)
-    lo = 0
-    window = 0
-    for size in sizes:
-        in_bucket = (need > lo) & (np.minimum(need, window_cap) <= size)
-        lo = size
-        m = int(in_bucket.sum())
-        if m == 0:
-            continue
-        window = max(window, size)
-        blk = np.where(in_bucket)[0].astype(np.int32)
-        m_pad = 1 << int(np.ceil(np.log2(max(m, 8))))
-        blk_p = np.full(m_pad, n_blocks, np.int32)  # dummies -> spare row
-        blk_p[:m] = blk
-        st_p = np.zeros((m_pad, 9), np.int32)
-        st_p[:m] = starts[blk]
-        bi_b, bd_b = _knn_cells_blocks_device(
-            xs_d, cs_d, jnp.asarray(st_p), jnp.asarray(blk_p),
-            k=k, block_q=block_q, window=size,
-            recall_target=recall_target,
-        )
-        # duplicate dummy ids all land on the spare row (discarded below)
-        out_i = out_i.at[jnp.asarray(blk_p)].set(bi_b)
-        out_d = out_d.at[jnp.asarray(blk_p)].set(bd_b)
-    best_i_s = out_i[:n_blocks].reshape(n_pad, k)
-    best_d2_s = out_d[:n_blocks].reshape(n_pad, k)
-    order_d = jnp.asarray(
-        np.concatenate([order, np.arange(n, n_pad, dtype=np.int32)])
-    )
-    inv = np.empty(n_pad, np.int32)
-    inv[np.asarray(order_d)] = np.arange(n_pad, dtype=np.int32)
-    if return_sorted_device:
-        sorted_idx, sorted_d2 = best_i_s, best_d2_s
-        best_i, best_d2 = _remap_sorted_to_original(
-            best_i_s + 0, best_d2_s + 0, order_d, jnp.asarray(inv), k=k
-        )
-    else:
-        best_i, best_d2 = _remap_sorted_to_original(
-            best_i_s, best_d2_s, order_d, jnp.asarray(inv), k=k
-        )
-    best_i.block_until_ready()
-    t_stage["device_search"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-
-    # exactness check: if the found k-th distance <= h, the true neighbor ball
-    # lies inside the 27-cell block and the result is provably complete
-    # (modulo approx_min_k recall); otherwise re-solve exactly
-    bad = np.array(best_d2[:n, k - 1] > jnp.float32(h * h))
-    if truncated.any():
-        for b in np.where(truncated)[0]:
-            lo, hi = b * block_q, min((b + 1) * block_q, n)
-            if lo < n:
-                bad[order[lo:hi]] = True
-    n_bad = int(bad.sum())
+    n_bad = len(pending)
     if n_bad:
-        fidx = np.where(bad)[0]
+        fidx = pending.astype(np.int64)
         bq = 256
         mq = -(-n_bad // bq) * bq
         q = np.full((mq, 3), 2e17, np.float32)
         q[:n_bad] = xyz[fidx]
         bdb = 65536
-        ndb = -(-n // bdb) * bdb
-        db = np.full((ndb, 3), 0, np.float32)
+        ndb2 = -(-n // bdb) * bdb
+        db = np.full((ndb2, 3), 0, np.float32)
         db[:n] = xyz
-        if ndb > n:
-            db[n:] = 1e17 + np.arange(ndb - n, dtype=np.float32)[:, None]
+        if ndb2 > n:
+            db[n:] = 1e17 + np.arange(ndb2 - n, dtype=np.float32)[:, None]
         fi, fd = knn_vs_db(
             jnp.asarray(q), jnp.asarray(db), k + 1,
             block_q=bq, block_db=bdb, recall_target=0.9999,
@@ -794,23 +847,24 @@ def knn_bigcloud(
         ordr = np.argsort(np.where(is_self, _INF, fd), axis=1)[:, :k]
         fi = np.take_along_axis(fi, ordr, axis=1).astype(np.int32)
         fd = np.take_along_axis(fd, ordr, axis=1)
-        best_i = best_i.at[jnp.asarray(fidx)].set(jnp.asarray(fi))
-        best_d2 = best_d2.at[jnp.asarray(fidx)].set(jnp.asarray(fd))
-
+        out_i = _scatter_rows(
+            out_i, jnp.asarray(fidx.astype(np.int32)), jnp.asarray(fi)
+        )
+        out_d = _scatter_rows(
+            out_d, jnp.asarray(fidx.astype(np.int32)),
+            jnp.asarray(fd.astype(np.float32)),
+        )
     t_stage["check_and_fallback"] = time.perf_counter() - t0
+
     info = {
-        "h": h,
-        "window": window,
-        "n_fallback": n_bad,
-        "n_blocks": n_blocks,
+        "h": ladder[-1],
+        "levels": level_stats,
+        "n_fallback": int(n_bad),
+        "window": window_cap,
+        "n_blocks": -(-n // block_q),
         "stage_seconds": {k_: round(v, 3) for k_, v in t_stage.items()},
     }
-    if return_sorted_device:
-        info.update(
-            sorted_idx=sorted_idx, sorted_d2=sorted_d2,
-            order=order_d, inv=jnp.asarray(inv), n_pad=n_pad,
-        )
-    return best_i[:n], best_d2[:n], info
+    return out_i[:n], out_d[:n], info
 
 
 def compute_graph_nn(xyz: np.ndarray, k_nn: int):

@@ -58,7 +58,9 @@ def test_bigcloud_fallback_on_sparse_outliers(rng):
     k = 6
     ei, ed = _exact(xyz, k)
     bi, bd, info = knn_bigcloud(xyz, k)
-    assert info["n_fallback"] > 0
+    # the level-0 certificate must fail for the outliers, routing them to a
+    # coarser level or the exact fallback
+    assert info["levels"][0]["bad"] > 0
     bi = np.asarray(bi)
     # the outliers themselves (rows beyond 3000) must be exact
     assert _set_agreement(ei[3000:], bi[3000:]) == 1.0

@@ -21,6 +21,23 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def enable_compile_cache():
+    import jax
+
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_spgt"
+    )
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+enable_compile_cache()
+
+
 def big_scene(n_points: int, seed: int = 0) -> np.ndarray:
     """Tiled multi-room indoor scene, ~n_points total."""
     from superpoint_graph_tpu.data.synthetic import synthetic_room
