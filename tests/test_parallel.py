@@ -113,3 +113,137 @@ class TestKnnVsDb:
             jnp.asarray(xyz), jnp.asarray(xyz), 6, self_offset=0, block_q=128
         )
         np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-4, atol=1e-6)
+
+
+class TestShardedCutPursuit:
+    def test_sharded_band_matches_single_device(self, rng):
+        """The band solver with the edge band sharded over 8 devices must
+        reproduce the single-chip solver exactly (same sweep schedule; only
+        f32 summation order differs)."""
+        from superpoint_graph_tpu.data.synthetic import synthetic_room
+        from superpoint_graph_tpu.ops.cutpursuit_band import cutpursuit_band
+        from superpoint_graph_tpu.parallel.mesh import make_mesh
+        from superpoint_graph_tpu.parallel.partition_shard import (
+            cutpursuit_band_sharded,
+        )
+
+        xyz, rgb, labels, objects = synthetic_room(rng, n_points=6000)
+        k = 5
+        d2 = ((xyz[:, None, :] - xyz[None, :, :]) ** 2).sum(-1)
+        np.fill_diagonal(d2, np.inf)
+        idx = np.argsort(d2, axis=1)[:, :k]
+        src = np.repeat(np.arange(len(xyz)), k)
+        tgt = idx.reshape(-1)
+        dist = np.sqrt(d2[src, tgt])
+        w = (1.0 / (1.0 + dist / dist.mean())).astype(np.float32)
+        feats = np.concatenate(
+            [xyz, rgb.astype(np.float32) / 255.0], axis=1
+        ).astype(np.float32)
+
+        comps_1, in_comp_1 = cutpursuit_band(
+            feats, src, tgt, w, 0.1, xyz=xyz, max_iter=3
+        )
+        mesh = make_mesh(8)
+        comps_8, in_comp_8 = cutpursuit_band_sharded(
+            feats, src, tgt, w, 0.1, mesh, xyz=xyz, max_iter=3
+        )
+        # psum combines per-device partial sums in a different f32 order than
+        # the single-chip segment_sum, so isolated ICM threshold decisions can
+        # flip; the sweep schedule itself is identical.
+        agree = (in_comp_1 == in_comp_8).mean()
+        assert agree > 0.999, f"sharded/single agreement {agree}"
+        assert abs(len(comps_1) - len(comps_8)) <= 2
+
+    def test_sharded_band_with_cutoff_and_node_weights(self, rng):
+        from superpoint_graph_tpu.ops.cutpursuit_band import cutpursuit_band
+        from superpoint_graph_tpu.parallel.mesh import make_mesh
+        from superpoint_graph_tpu.parallel.partition_shard import (
+            cutpursuit_band_sharded,
+        )
+
+        n = 2000
+        xyz = rng.rand(n, 3).astype(np.float32)
+        xyz[: n // 2, 0] += 3.0
+        k = 4
+        d2 = ((xyz[:, None, :] - xyz[None, :, :]) ** 2).sum(-1)
+        np.fill_diagonal(d2, np.inf)
+        idx = np.argsort(d2, axis=1)[:, :k]
+        src = np.repeat(np.arange(n), k)
+        tgt = idx.reshape(-1)
+        w = np.ones(len(src), np.float32)
+        nw = rng.rand(n).astype(np.float32) + 0.5
+        comps_1, in_comp_1 = cutpursuit_band(
+            xyz, src, tgt, w, 0.2, cutoff=10, node_weight=nw, xyz=xyz,
+            max_iter=2,
+        )
+        mesh = make_mesh(8)
+        comps_8, in_comp_8 = cutpursuit_band_sharded(
+            xyz, src, tgt, w, 0.2, mesh, cutoff=10, node_weight=nw, xyz=xyz,
+            max_iter=2,
+        )
+        assert (in_comp_1 == in_comp_8).mean() == 1.0
+
+
+class TestShardedKnnGeof:
+    def test_matches_exact_and_shards_memory(self, rng):
+        import jax.numpy as jnp
+
+        from superpoint_graph_tpu.data.synthetic import synthetic_room
+        from superpoint_graph_tpu.ops.geof import compute_geof
+        from superpoint_graph_tpu.ops.knn import knn
+        from superpoint_graph_tpu.parallel.mesh import make_mesh
+        from superpoint_graph_tpu.parallel.partition_shard import (
+            sharded_knn_geof,
+        )
+
+        xyz, _, _, _ = synthetic_room(rng, n_points=6000)
+        mesh = make_mesh(8)
+        k_adj, k_geof = 5, 12
+        graph_nn, geof, idx = sharded_knn_geof(xyz, k_adj, k_geof, mesh)
+
+        ei, ed = knn(jnp.asarray(xyz), k_geof)
+        ei = np.asarray(ei)
+        agree = np.mean(
+            [
+                len(np.intersect1d(ei[i], idx[i])) / k_geof
+                for i in range(0, len(xyz), 13)
+            ]
+        )
+        assert agree > 0.995
+        geof_ref = np.asarray(compute_geof(jnp.asarray(xyz), jnp.asarray(ei)))
+        same = (np.sort(idx, 1) == np.sort(ei, 1)).all(1)
+        np.testing.assert_allclose(
+            geof[same], geof_ref[same], rtol=2e-2, atol=2e-2
+        )
+        # adjacency contract
+        assert graph_nn["source"].shape == graph_nn["target"].shape
+        assert graph_nn["distances"].min() > 0
+
+    def test_partition_cloud_sharded_end_to_end(self, rng):
+        from superpoint_graph_tpu.data.synthetic import synthetic_room
+        from superpoint_graph_tpu.parallel.mesh import make_mesh
+        from superpoint_graph_tpu.parallel.partition_shard import (
+            partition_cloud_sharded,
+        )
+        from superpoint_graph_tpu.pipeline import PartitionConfig
+
+        xyz, rgb, labels, _ = synthetic_room(rng, n_points=5000)
+        cfg = PartitionConfig(
+            voxel_width=0.0, k_nn_geof=12, k_nn_adj=5, reg_strength=0.1,
+            spg_adjacency="knn",
+        )
+        mesh = make_mesh(8)
+        graph_nn, geof, comps, in_comp = partition_cloud_sharded(
+            xyz, rgb, cfg, mesh
+        )
+        assert in_comp.shape == (len(xyz),)
+        n_sp = len(comps)
+        assert 5 < n_sp < len(xyz) // 4
+        # superpoints must be spatially coherent: intra-superpoint mean
+        # feature variance far below the global variance
+        import numpy as _np
+        glob_var = _np.var(xyz[:, 2])
+        intra = _np.mean(
+            [xyz[c, 2].var() for c in comps if len(c) > 10]
+        )
+        assert intra < glob_var * 0.5
