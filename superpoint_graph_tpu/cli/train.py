@@ -270,11 +270,29 @@ def main(argv=None):
         args.dataset, root, args.edge_attribs, args.pc_attribs,
         args.loss_weights, args.cvfold,
     )
-    trainlist, testlist, validlist, scaler = ds.get_datasets(
-        args.dataset, root, args.edge_attribs, args.spg_superedge_cutoff,
-        bool(args.spg_attribs01), args.cvfold, bool(args.use_val_set),
-        args.db_train_name, args.db_test_name,
-    )
+    import jax
+
+    if jax.process_count() > 1:
+        # multi-host launch: shard the train file list per host over DCN and
+        # fit the edge scaler on the global union (parallel/multihost.py)
+        from superpoint_graph_tpu.parallel.multihost import (
+            get_datasets_multihost,
+        )
+
+        trainlist, testlist, validlist, scaler = get_datasets_multihost(
+            args.dataset, root, args.edge_attribs,
+            spg_superedge_cutoff=args.spg_superedge_cutoff,
+            spg_attribs01=bool(args.spg_attribs01), cvfold=args.cvfold,
+            use_val_set=bool(args.use_val_set),
+            db_train_name=args.db_train_name,
+            db_test_name=args.db_test_name,
+        )
+    else:
+        trainlist, testlist, validlist, scaler = ds.get_datasets(
+            args.dataset, root, args.edge_attribs, args.spg_superedge_cutoff,
+            bool(args.spg_attribs01), args.cvfold, bool(args.use_val_set),
+            args.db_train_name, args.db_test_name,
+        )
     train_names = [e[4] for e in trainlist]
     test_names = [e[4] for e in testlist]
     valid_names = [e[4] for e in validlist]
