@@ -29,7 +29,7 @@ import numpy as np
 
 from ..ops.components import connected_components
 from ..ops.cutpursuit import cutpursuit as cutpursuit_exact
-from ..ops.cutpursuit_jax import cutpursuit_tpu
+from ..ops.cutpursuit_band import cutpursuit_band
 
 
 @dataclasses.dataclass
@@ -122,7 +122,15 @@ def compute_partition(cfg: SspLossConfig, embeddings, edg_source, edg_target,
         )
         use_spatial = True
 
-    solver = cutpursuit_exact if cfg.cp_backend == "exact" else cutpursuit_tpu
+    kw = {}
+    if cfg.cp_backend != "exact":
+        # band solver (the TPU fast path): Morton-sort by spatial position
+        # when available so the kNN graph is block-banded
+        solver = cutpursuit_band
+        kw["xyz"] = np.asarray(xyz, np.float32) if xyz is not None else None
+    else:
+        solver = cutpursuit_exact
+        kw["spatial"] = use_spatial
     return solver(
         ver_value,
         np.asarray(edg_source, np.int64),
@@ -130,8 +138,8 @@ def compute_partition(cfg: SspLossConfig, embeddings, edg_source, edg_target,
         edge_weight,
         cfg.reg_strength / (4 * cfg.k_nn_adj),
         cutoff=cfg.CP_cutoff,
-        spatial=use_spatial,
         weight_decay=0.7,
+        **kw,
     )
 
 
