@@ -21,7 +21,7 @@ def parse_args(argv=None):
     p.add_argument("--model_path", default="results_partition/cv1/model.ckpt")
     p.add_argument("--folder", default="", help="restrict to one subfolder")
     p.add_argument("--overwrite", default=0, type=int)
-    p.add_argument("--cp_backend", default="exact", choices=["exact", "tpu"])
+    p.add_argument("--cp_backend", default="tpu", choices=["exact", "tpu"])
     return p.parse_args(argv)
 
 
