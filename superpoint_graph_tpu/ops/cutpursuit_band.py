@@ -19,10 +19,6 @@ entirely:
 Same outer algorithm as cutpursuit_jax (parallel-ICM splits + label-prop CC
 + saturation; reference solver semantics per SIAM-2017 l0 cut pursuit,
 call sites partition/partition.py:177, supervized_partition/losses.py:82).
-
-The inner CC min-propagation additionally has a Pallas multi-sweep kernel
-(`_cc_band_pallas`) that keeps the label vector in VMEM across a
-Gauss-Seidel pass over block rows — see `cc_band_sweeps`.
 """
 from __future__ import annotations
 

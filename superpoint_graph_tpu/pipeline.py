@@ -21,7 +21,7 @@ from .graph.spg import compute_sp_graph
 from .ops import geof as geof_ops
 from .ops import voxel
 from .ops.cutpursuit import cutpursuit as cutpursuit_exact
-from .ops.cutpursuit_jax import cutpursuit_tpu
+from .ops.cutpursuit_band import cutpursuit_band
 from .ops.knn import compute_graph_nn_2
 
 
@@ -196,7 +196,10 @@ def partition_cloud(
             cfg.reg_strength, cutoff=cfg.cp_cutoff,
         )
     else:
-        components, in_component = cutpursuit_tpu(
+        # small-cloud device path: the band solver beats both the dense-K
+        # solver and the host oracle at these shapes
+        # (tools/ssp_inloop_results.json)
+        components, in_component = cutpursuit_band(
             features, graph_nn["source"], graph_nn["target"], w,
             cfg.reg_strength, cutoff=cfg.cp_cutoff,
             xyz=np.asarray(xyz, np.float32),
@@ -295,7 +298,7 @@ def partition_clouds(
                     cfg.reg_strength, cutoff=cfg.cp_cutoff,
                 )
             else:
-                components, in_component = cutpursuit_tpu(
+                components, in_component = cutpursuit_band(
                     features, graph_nn["source"], graph_nn["target"], w,
                     cfg.reg_strength, cutoff=cfg.cp_cutoff,
                     xyz=np.asarray(xyz, np.float32),
