@@ -9,10 +9,15 @@ brute-force*: squared distances per (query-tile, db-tile) come from one matmul
 sort/top_k merge on TPU), tiles are merged by a tiny exact 2k-column top_k, and
 the winners are re-ranked with exact distances.
 
-`recall_target` bounds the per-tile chance of missing a true neighbor
-(>99% index agreement with a KD-tree measured at 0.99; the reference's own
+`recall_target` bounds the per-tile chance of missing a true neighbor. The
+default 0.95 is a measured sweet spot on v5e: approx_min_k's PartialReduce
+emits l candidate columns before an internal top-k aggregation whose cost
+grows with l (l=1024 at 0.95 vs l=7552 at 0.99 for 60k rows); 0.95 runs the
+60k-point search 4.3x faster at ~99.1% true index agreement vs exact
+(self-match excluded), still above the >99% bar (the reference's own
 partition is declared stochastic, README.md:32, so the tail is immaterial).
-"""
+Pass 0.99+ for exactness-critical callers (knn_bigcloud does — its
+certificate machinery re-solves any miss)."""
 from __future__ import annotations
 
 import time
@@ -44,7 +49,7 @@ def knn(
     block_q: int = 1024,
     block_db: int = 65536,
     exclude_self: bool = True,
-    recall_target: float = 0.99,
+    recall_target: float = 0.95,
 ) -> tuple[jax.Array, jax.Array]:
     """kNN of every point among all points of the same cloud.
 
@@ -149,7 +154,7 @@ def knn_vs_db(
     self_offset: int | jax.Array | None = None,
     block_q: int = 1024,
     block_db: int = 65536,
-    recall_target: float = 0.99,
+    recall_target: float = 0.95,
 ) -> tuple[jax.Array, jax.Array]:
     """kNN of `queries` among `db` (traceable; for use inside shard_map —
     the building block of the multi-chip giant-cloud partition where each
@@ -217,266 +222,6 @@ def knn_vs_db(
     exact = jnp.sum(diff * diff, axis=-1)
     neg_top, arg = jax.lax.top_k(-exact, exact.shape[1])
     return jnp.take_along_axis(best_i, arg, axis=1), jnp.maximum(-neg_top, 0.0)
-
-
-@partial(
-    jax.jit,
-    static_argnames=("k", "n_cells", "cells_per_axis_cap", "slots", "block_q",
-                     "recall_target"),
-)
-def _knn_grid_device(
-    xyz: jax.Array,
-    cell_size: jax.Array,
-    mins: jax.Array,
-    dims: jax.Array,  # [3] int32 grid dims (dynamic values, bounded by cap)
-    *,
-    k: int,
-    n_cells: int,          # static linear-cell capacity (>= prod(dims))
-    cells_per_axis_cap: int,
-    slots: int,            # static per-cell candidate slots (L)
-    block_q: int = 2048,
-    recall_target: float = 0.99,
-):
-    n = xyz.shape[0]
-    cell = jnp.floor((xyz - mins[None, :]) / cell_size).astype(jnp.int32)
-    cell = jnp.clip(cell, 0, dims[None, :] - 1)
-    key = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
-
-    order = jnp.argsort(key)
-    key_sorted = key[order]
-    cell_range = jnp.arange(n_cells, dtype=jnp.int32)
-    starts = jnp.searchsorted(key_sorted, cell_range, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(key_sorted, cell_range, side="right").astype(jnp.int32)
-
-    # 27 neighbor-cell offsets
-    off = jnp.stack(
-        jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"), axis=-1
-    ).reshape(27, 3).astype(jnp.int32)
-
-    kq = k + 1  # self included among candidates
-
-    def per_block(args):
-        q_xyz, q_cell, q_idx = args
-        bq = q_xyz.shape[0]
-        nb = q_cell[:, None, :] + off[None, :, :]          # [bq, 27, 3]
-        valid_cell = jnp.all((nb >= 0) & (nb < dims[None, None, :]), axis=-1)
-        nb_key = (nb[..., 0] * dims[1] + nb[..., 1]) * dims[2] + nb[..., 2]
-        nb_key = jnp.clip(nb_key, 0, n_cells - 1)
-        s = starts[nb_key]                                  # [bq, 27]
-        e = ends[nb_key]
-        slot = jnp.arange(slots, dtype=jnp.int32)
-        cand_pos = s[..., None] + slot[None, None, :]       # [bq, 27, L]
-        cand_ok = (cand_pos < e[..., None]) & valid_cell[..., None]
-        cand_pos = jnp.clip(cand_pos, 0, n - 1)
-        cand_idx = order[cand_pos].reshape(bq, 27 * slots)
-        cand_ok = cand_ok.reshape(bq, 27 * slots)
-
-        diff = q_xyz[:, None, :] - xyz[cand_idx]
-        d2 = jnp.sum(diff * diff, axis=-1)
-        # mask invalid slots and the self match
-        d2 = jnp.where(cand_ok & (cand_idx != q_idx[:, None]), d2, _INF)
-        cd, sel = jax.lax.approx_min_k(d2, kq, recall_target=recall_target)
-        ci = jnp.take_along_axis(cand_idx, sel, axis=1)
-        # exact final ordering of the kq candidates, drop the worst
-        neg, arg = jax.lax.top_k(-cd, k)
-        return -neg, jnp.take_along_axis(ci, arg, axis=1)
-
-    n_q = -(-n // block_q) * block_q
-    xq = _pad_rows(xyz, n_q, 0.0)
-    cq = _pad_rows(cell, n_q, 0)
-    iq = jnp.concatenate(
-        [jnp.arange(n, dtype=jnp.int32),
-         jnp.full((n_q - n,), -1, jnp.int32)]
-    ) if n_q > n else jnp.arange(n, dtype=jnp.int32)
-    best_d, best_i = jax.lax.map(
-        per_block,
-        (
-            xq.reshape(-1, block_q, 3),
-            cq.reshape(-1, block_q, 3),
-            iq.reshape(-1, block_q),
-        ),
-    )
-    best_d = best_d.reshape(n_q, k)[:n]
-    best_i = best_i.reshape(n_q, k)[:n]
-    # unfilled slots (sparse regions with < k candidates): clamp to the
-    # nearest found neighbor so downstream gathers stay in-range
-    has = best_d < _INF / 2
-    first = best_i[:, :1]
-    best_i = jnp.where(has, best_i, first)
-    best_d2 = jnp.sum((xyz[:, None, :] - xyz[best_i]) ** 2, axis=-1)
-    return best_i, best_d2
-
-
-def knn_grid(
-    xyz: np.ndarray,
-    k: int,
-    *,
-    cell_factor: float = 1.6,
-    slots_factor: float = 3.0,
-    block_q: int = 2048,
-):
-    """EXPERIMENTAL grid-hash kNN (27-cell candidate gathers).
-
-    Measured slower than the matmul paths on TPU — random gathers do not map
-    to the MXU/VPU — and the 3D-density cell sizing under-covers
-    surface-distributed clouds. Kept as a reference implementation; use
-    `knn` (brute matmul) or `knn_window` (Morton sliding window) instead.
-    """
-    xyz = np.ascontiguousarray(xyz, np.float32)
-    n = len(xyz)
-    mins = xyz.min(0)
-    maxs = xyz.max(0)
-    extent = np.maximum(maxs - mins, 1e-6)
-    volume = float(np.prod(extent))
-    r_k = (k * volume / (n * 4.19)) ** (1.0 / 3.0)  # expected k-NN radius
-    cell_size = max(r_k * cell_factor, 1e-6)
-    dims = np.minimum(
-        np.ceil(extent / cell_size).astype(np.int64) + 1, 1 << 30
-    )
-    # keep the dense linear grid bounded: coarsen until <= 8n cells
-    while np.prod(dims) > max(8 * n, 1 << 14):
-        cell_size *= 1.26
-        dims = np.ceil(extent / cell_size).astype(np.int64) + 1
-    n_cells = 1 << int(np.ceil(np.log2(max(int(np.prod(dims)), 2))))
-    exp_per_cell = n / max(float(np.prod(dims)), 1.0)
-    slots = int(np.ceil(max(exp_per_cell * slots_factor, k / 9)))
-    slots = 1 << int(np.ceil(np.log2(max(slots, 4))))
-
-    idx, d2 = _knn_grid_device(
-        jnp.asarray(xyz),
-        jnp.float32(cell_size),
-        jnp.asarray(mins),
-        jnp.asarray(dims.astype(np.int32)),
-        k=k,
-        n_cells=int(n_cells),
-        cells_per_axis_cap=0,
-        slots=int(slots),
-        block_q=block_q,
-    )
-    return idx, d2
-
-
-def _morton_codes(xyz: np.ndarray) -> np.ndarray:
-    """63-bit Morton (z-order) codes from 21-bit quantized coordinates."""
-    mins = xyz.min(0)
-    extent = np.maximum(xyz.max(0) - mins, 1e-9)
-    q = ((xyz - mins) / extent * ((1 << 21) - 1)).astype(np.uint64)
-
-    def spread(v):
-        v &= np.uint64(0x1FFFFF)
-        v = (v | (v << np.uint64(32))) & np.uint64(0x1F00000000FFFF)
-        v = (v | (v << np.uint64(16))) & np.uint64(0x1F0000FF0000FF)
-        v = (v | (v << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
-        v = (v | (v << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
-        v = (v | (v << np.uint64(2))) & np.uint64(0x1249249249249249)
-        return v
-
-    return (
-        spread(q[:, 0])
-        | (spread(q[:, 1]) << np.uint64(1))
-        | (spread(q[:, 2]) << np.uint64(2))
-    )
-
-
-@partial(
-    jax.jit,
-    static_argnames=("k", "window", "block_q", "recall_target"),
-)
-def _knn_window_device(
-    xyz_sorted: jax.Array,
-    *,
-    k: int,
-    window: int,
-    block_q: int,
-    recall_target: float = 0.99,
-):
-    n = xyz_sorted.shape[0]
-    kq = k + 1
-    half = window // 2
-    sq = jnp.sum(xyz_sorted * xyz_sorted, axis=-1)
-
-    def per_block(blk_idx):
-        q_start = blk_idx * block_q
-        q_xyz = jax.lax.dynamic_slice(xyz_sorted, (q_start, 0), (block_q, 3))
-        db_start = jnp.clip(q_start - half, 0, max(n - (window + block_q), 0))
-        db = jax.lax.dynamic_slice(
-            xyz_sorted, (db_start, 0), (min(window + block_q, n), 3)
-        )
-        sq_db = jax.lax.dynamic_slice(sq, (db_start,), (min(window + block_q, n),))
-        d2 = (
-            jnp.sum(q_xyz * q_xyz, 1, keepdims=True)
-            + sq_db[None, :]
-            - 2.0
-            * jnp.dot(
-                q_xyz, db.T,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-        )
-        cd, ci = jax.lax.approx_min_k(d2, kq, recall_target=recall_target)
-        return cd, ci + db_start
-
-    n_blocks = -(-n // block_q)
-    best_d, best_i = jax.lax.map(
-        per_block, jnp.arange(n_blocks, dtype=jnp.int32)
-    )
-    best_d = best_d.reshape(n_blocks * block_q, kq)[:n]
-    best_i = best_i.reshape(n_blocks * block_q, kq)[:n]
-    # drop the self match (exact zero at own sorted position)
-    self_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
-    best_d = jnp.where(best_i == self_idx, _INF, best_d)
-    neg, arg = jax.lax.top_k(-best_d, k)
-    best_i = jnp.take_along_axis(best_i, arg, axis=1)
-    diff = xyz_sorted[:, None, :] - xyz_sorted[best_i]
-    exact = jnp.sum(diff * diff, axis=-1)
-    neg, arg = jax.lax.top_k(-exact, k)
-    return jnp.take_along_axis(best_i, arg, axis=1), jnp.maximum(-neg, 0.0)
-
-
-def knn_window(
-    xyz: np.ndarray,
-    k: int,
-    *,
-    window: int = 8192,
-    block_q: int = 1024,
-):
-    """Morton sliding-window kNN — the linear-time production path for big
-    clouds (SURVEY.md §7.3 item 6), TPU-idiomatic: points are sorted along a
-    z-order curve so spatial neighbors are near in memory, then each block of
-    consecutive sorted queries brute-forces only a `window`-wide slice of the
-    sorted cloud with one MXU matmul. No gathers, O(n * window) flops.
-
-    Near-exact when true neighbors fall within ±window/2 sorted positions
-    (Morton locality); increase `window` for sparse/elongated clouds.
-    Returns (indices [n, k] int32 into the ORIGINAL order, sq_distances).
-    """
-    xyz = np.ascontiguousarray(xyz, np.float32)
-    n = len(xyz)
-    if n <= window + block_q:
-        return knn(jnp.asarray(xyz), k)
-    order = np.argsort(_morton_codes(xyz), kind="stable")
-    xs = xyz[order]
-    # pad sorted array to a block multiple with far-away points
-    n_pad = -(-n // block_q) * block_q
-    if n_pad > n:
-        far = np.full((n_pad - n, 3), 1e17, np.float32) + np.arange(
-            n_pad - n, dtype=np.float32
-        )[:, None]
-        xs = np.concatenate([xs, far])
-    idx_s, d2_s = _knn_window_device(
-        jnp.asarray(xs), k=k, window=window, block_q=block_q
-    )
-    idx_s = np.asarray(idx_s)[:n]
-    d2 = np.asarray(d2_s)[:n]
-    # map sorted positions back to original ids, and rows to original order
-    idx_orig = order[np.clip(idx_s, 0, n - 1)]
-    inv = np.empty(n, np.int64)
-    inv[order] = np.arange(n)
-    out_idx = np.empty_like(idx_orig)
-    out_d2 = np.empty_like(d2)
-    out_idx[order] = idx_orig
-    out_d2[order] = d2
-    return out_idx.astype(np.int32), out_d2
 
 
 # ---------------------------------------------------------------------------

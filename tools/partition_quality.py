@@ -88,8 +88,11 @@ def main():
         src = graph_nn["source"].astype(np.int64)
         tgt = graph_nn["target"].astype(np.int64)
 
+        from superpoint_graph_tpu.ops.cutpursuit_band import cutpursuit_band
+
         solvers = {
             "tpu": lambda: cutpursuit_tpu(f, src, tgt, w, reg),
+            "band": lambda: cutpursuit_band(f, src, tgt, w, reg, xyz=px),
             "exact": lambda: cp_exact(f, src, tgt, w, reg),
         }
         if native.available():
