@@ -123,8 +123,8 @@ def _solve_band_sharded(
                     & (compw[:, None, :]
                        != comp_loc.reshape(nb_local, B)[:, :, None]),
                     band_loc,
-                    0.0,
-                )
+                    jnp.zeros((), band_loc.dtype),
+                ).astype(jnp.float32)
             )
             cross_of = jnp.sum(
                 jnp.where(comp_rep[ofs] != comp_rep[oft], ofw, 0.0)
@@ -238,7 +238,7 @@ def _solve_band_sharded(
                 & (compw[:, None, :]
                    == comp_loc.reshape(nb_local, B)[:, :, None]),
                 band_loc,
-                0.0,
+                jnp.zeros((), band_loc.dtype),
             )
             of_intra_w = jnp.where(comp_rep[ofs] == comp_rep[oft], ofw, 0.0)
 
@@ -260,8 +260,10 @@ def _solve_band_sharded(
                 )
                 for s in range(2 * icm_sweeps):
                     bw = _band_windows_local(
-                        1.0 - 2.0 * b_rep.astype(f_loc.dtype),
-                        blk0, nb_local, 0.0,
+                        jnp.ones((), w_intra.dtype)
+                        - jnp.full((), 2.0, w_intra.dtype)
+                        * b_rep.astype(w_intra.dtype),
+                        blk0, nb_local, jnp.zeros((), w_intra.dtype),
                     )
                     band_field = jnp.einsum(
                         "pbw,pw->pb", w_intra, bw,
@@ -402,7 +404,10 @@ def cutpursuit_band_sharded(
     # host-side band assembly; each device receives only its block rows
     band = np.zeros(n_pad * WIN, np.float32)
     np.add.at(band, flat_idx, flat_w)
-    band_w = band.reshape(nb_pad, B, WIN)
+    # bf16 storage, matching ops.cutpursuit_band's quantization so the
+    # sharded and single-chip solvers see identical edge weights
+    import ml_dtypes
+    band_w = band.reshape(nb_pad, B, WIN).astype(ml_dtypes.bfloat16)
 
     e_of = max(
         n_dev, 1 << int(np.ceil(np.log2(max(len(of_src), 1))))
