@@ -624,6 +624,7 @@ BIGCLOUD_THRESHOLD = 300_000  # points; above this brute force stops paying
 def compute_graph_nn_2(
     xyz: np.ndarray, k_nn_adj: int, k_nn_geof: int, voronoi: float = 0.0,
     return_device: bool = False, bigcloud_threshold: int | None = None,
+    defer_fetch: bool = False,
 ):
     """Adjacency graph + feature-neighborhood table in one search.
 
@@ -639,6 +640,12 @@ def compute_graph_nn_2(
 
     Returns a dict graph {source, target, distances} (uint32/float32) and
     target_geof [n, k_nn_geof] uint32.
+
+    `defer_fetch` (requires return_device, no voronoi): the graph dict is
+    returned with the device->host copy of the adjacency columns only
+    STARTED (copy_to_host_async) — `materialize_graph_nn(graph)` completes
+    it. Lets the caller dispatch more device work (geof) under the ~5 MB
+    tunnel transfer instead of blocking on it (measured 0.16 s at 60k).
     """
     assert k_nn_adj <= k_nn_geof
     n = xyz.shape[0]
@@ -666,9 +673,23 @@ def compute_graph_nn_2(
     # fetch only the adjacency columns (k_adj << k_geof); the geof neighbor
     # table stays ON DEVICE for ops/geof — device->host transfers over a
     # tunneled chip are the hidden cost of the features stage
-    idx_adj = np.asarray(idx_dev[:n, :k_nn_adj])
-    dist = np.sqrt(np.asarray(d2_dev[:n, :k_nn_adj]))
+    idx_adj_dev = idx_dev[:n, :k_nn_adj]
+    d2_adj_dev = d2_dev[:n, :k_nn_adj]
     idx = idx_dev[:n]
+    if defer_fetch and return_device and voronoi == 0:
+        for a in (idx_adj_dev, d2_adj_dev):
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass  # backend without async copies: materialize blocks
+        graph = {
+            "is_nn": True,
+            "_deferred": (n, k_nn_adj, idx_adj_dev, d2_adj_dev),
+        }
+        dev = {"idx": idx_dev, "d2": d2_dev, "n_pad": n_pad}
+        return graph, idx[:, :k_nn_geof], dev
+    idx_adj = np.asarray(idx_adj_dev)
+    dist = np.sqrt(np.asarray(d2_adj_dev))
     source = np.repeat(np.arange(n, dtype=np.uint32), k_nn_adj)
     target = idx_adj.reshape(-1).astype(np.uint32)
     distances = dist.reshape(-1).astype(np.float32)
@@ -707,3 +728,18 @@ def compute_graph_nn_2(
         return graph, idx[:, :k_nn_geof], dev
     # device array (int32); callers needing uint32 numpy cast lazily
     return graph, idx[:, :k_nn_geof]
+
+
+def materialize_graph_nn(graph: dict) -> dict:
+    """Complete a `defer_fetch` graph in place: finish the async adjacency
+    copy and assemble source/target/distances. Idempotent."""
+    deferred = graph.pop("_deferred", None)
+    if deferred is None:
+        return graph
+    n, k_nn_adj, idx_adj_dev, d2_adj_dev = deferred
+    idx_adj = np.asarray(idx_adj_dev)
+    dist = np.sqrt(np.maximum(np.asarray(d2_adj_dev), 0.0))
+    graph["source"] = np.repeat(np.arange(n, dtype=np.uint32), k_nn_adj)
+    graph["target"] = idx_adj.reshape(-1).astype(np.uint32)
+    graph["distances"] = dist.reshape(-1).astype(np.float32)
+    return graph

@@ -22,7 +22,7 @@ from .ops import geof as geof_ops
 from .ops import voxel
 from .ops.cutpursuit import cutpursuit as cutpursuit_exact
 from .ops.cutpursuit_band import cutpursuit_band
-from .ops.knn import compute_graph_nn_2
+from .ops.knn import compute_graph_nn_2, materialize_graph_nn
 
 
 @dataclasses.dataclass
@@ -64,7 +64,8 @@ def partition_features(xyz: np.ndarray, cfg: PartitionConfig,
     (geof / adjacency kNN) are returned too, feeding the one-program
     cut-pursuit path without re-uploading anything."""
     out = compute_graph_nn_2(
-        xyz, cfg.k_nn_adj, cfg.k_nn_geof, return_device=return_device
+        xyz, cfg.k_nn_adj, cfg.k_nn_geof, return_device=return_device,
+        defer_fetch=return_device,
     )
     graph_nn, target_geof = out[0], out[1]
     # bucket to a power of two so geof shares one executable across clouds
@@ -75,6 +76,9 @@ def partition_features(xyz: np.ndarray, cfg: PartitionConfig,
         xyz_d = jnp.pad(xyz_d, ((0, n_pad - n), (0, 0)))
         target_geof = jnp.pad(target_geof, ((0, n_pad - n), (0, 0)))
     geof_dev = geof_ops.compute_geof(xyz_d, target_geof)
+    # the ~5 MB adjacency fetch (started async inside compute_graph_nn_2)
+    # completes here, under the geof dispatch, instead of blocking before it
+    graph_nn = materialize_graph_nn(graph_nn)
     geof = np.asarray(geof_dev[:n])
     if return_device:
         dev = out[2]

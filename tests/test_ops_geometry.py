@@ -93,6 +93,27 @@ class TestKnn:
         # no self edges
         assert np.all(graph["source"] != graph["target"])
 
+    def test_defer_fetch_matches_blocking(self, rng):
+        """defer_fetch + materialize must produce the identical graph the
+        blocking path produces (the async copy only changes timing)."""
+        n = 300
+        xyz = rng.rand(n, 3).astype(np.float32)
+        graph_b, tg_b = knn.compute_graph_nn_2(xyz, 5, 20)
+        graph_d, tg_d, dev = knn.compute_graph_nn_2(
+            xyz, 5, 20, return_device=True, defer_fetch=True
+        )
+        assert "_deferred" in graph_d
+        graph_d = knn.materialize_graph_nn(graph_d)
+        assert "_deferred" not in graph_d
+        np.testing.assert_array_equal(graph_b["source"], graph_d["source"])
+        np.testing.assert_array_equal(graph_b["target"], graph_d["target"])
+        np.testing.assert_allclose(
+            graph_b["distances"], graph_d["distances"], rtol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(tg_b), np.asarray(tg_d))
+        # idempotent
+        assert knn.materialize_graph_nn(graph_d) is graph_d
+
 
 class TestVoxelPrune:
     def _oracle(self, xyz, voxel_size, rgb, labels, n_labels):
