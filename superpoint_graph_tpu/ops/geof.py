@@ -43,10 +43,20 @@ def compute_geof(xyz: jax.Array, neighbors: jax.Array, chunk: int | None = None)
       [n, 4] float32 features: linearity, planarity, scattering, verticality.
     """
     del chunk
-    n = xyz.shape[0]
-    k = neighbors.shape[1]
-    pos_nei = xyz[neighbors]                      # [n, k, 3]
-    pos = jnp.concatenate([xyz[:, None, :], pos_nei], axis=1)  # [n, k+1, 3]
+    return compute_geof_rows(xyz, xyz, neighbors)
+
+
+@jax.jit
+def compute_geof_rows(
+    xyz_full: jax.Array, xyz_rows: jax.Array, neighbors_rows: jax.Array
+) -> jax.Array:
+    """`compute_geof` for a row slice of a larger cloud: `xyz_rows` [m, 3]
+    are the query points, `neighbors_rows` [m, k] index into `xyz_full`.
+    Lets giant clouds bound the [m, k+1, 3] gather transient (5.5 GB at
+    1e7 x 45 if done in one shot — pipeline_big chunks it)."""
+    k = neighbors_rows.shape[1]
+    pos_nei = xyz_full[neighbors_rows]            # [m, k, 3]
+    pos = jnp.concatenate([xyz_rows[:, None, :], pos_nei], axis=1)
     mean = jnp.mean(pos, axis=1, keepdims=True)
     centered = pos - mean
     # covariance normalized by (k+1), matching ply_c.cpp:414

@@ -178,6 +178,15 @@ def partition_cloud(
             n_labels,
             n_obj,
         )
+    if cfg.cp_backend == "tpu":
+        from .pipeline_big import CHUNKED_CP_THRESHOLD, partition_cloud_big
+
+        if len(xyz) > CHUNKED_CP_THRESHOLD:
+            # giant cloud: every stage memory-bounded (band chunks + heal)
+            big_cfg = dataclasses.replace(cfg, voxel_width=0.0)
+            return partition_cloud_big(
+                xyz, rgb, labels, objects, n_labels=n_labels, cfg=big_cfg
+            )
     device_cp = cfg.cp_backend == "tpu" and len(xyz) >= 16384
     if device_cp:
         graph_nn, geof, dev = partition_features(
