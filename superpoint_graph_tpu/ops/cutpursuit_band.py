@@ -135,7 +135,7 @@ def _seg_mean(data, seg, n, weights):
     jax.jit,
     static_argnames=(
         "max_iter", "icm_sweeps", "flow_steps", "power_iters", "cc_rounds",
-        "cc_sweeps_per_round",
+        "cc_sweeps_per_round", "use_pallas_cc",
     ),
 )
 def _solve_band(
@@ -154,6 +154,7 @@ def _solve_band(
     power_iters: int = 8,
     cc_rounds: int = 16,
     cc_sweeps_per_round: int = 4,
+    use_pallas_cc: bool = False,  # measured a wash on v5e (see cc_pallas.py)
 ):
     n, d = f.shape
     nb = n // B
@@ -200,10 +201,22 @@ def _solve_band(
         of_same = (comp[of_src] == comp[of_tgt]) & (b[of_src] == b[of_tgt]) & (
             of_w > 0.0
         )
+        if use_pallas_cc:
+            from .cc_pallas import _pair_mask
+
+            pm = _pair_mask(same_band)  # loop-invariant: built once per CC
 
         def round_body(state):
             lab, _, i = state
-            new = cc_band_sweeps(lab, same_band, cc_sweeps_per_round)
+            if use_pallas_cc:
+                # Gauss-Seidel sweeps with the label vector resident in VMEM
+                # (ops/cc_pallas.py) — 2 alternating passes propagate minima
+                # across the whole band, vs HALO blocks per Jacobi sweep
+                from .cc_pallas import cc_band_sweeps_gs
+
+                new = cc_band_sweeps_gs(lab, pm, cc_sweeps_per_round)
+            else:
+                new = cc_band_sweeps(lab, same_band, cc_sweeps_per_round)
             # overflow hook: relax out-of-band edges exactly
             m = jnp.where(
                 of_same, jnp.minimum(new[of_src], new[of_tgt]), BIG
