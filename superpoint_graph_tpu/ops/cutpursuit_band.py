@@ -502,12 +502,15 @@ def cutpursuit_band(
     weight_decay: float = 0.7,
     node_weight: np.ndarray | None = None,
     xyz: np.ndarray | None = None,
+    merge: bool = True,
     **solver_kw,
 ):
     """libcp.cutpursuit-compatible banded solver (the large-cloud fast path).
 
     `xyz` (optional) provides coordinates for the Morton sort; without it the
-    input order is assumed to already be spatially local. Returns
+    input order is assumed to already be spatially local. `merge=False`
+    skips the backward merge step (for callers that run their own global
+    merge afterwards — pipeline_big.chunked_cutpursuit). Returns
     (components, in_component) like the host oracle."""
     del spatial
     f = np.ascontiguousarray(features, dtype=np.float32)
@@ -594,11 +597,12 @@ def cutpursuit_band(
     order = np.argsort(np.argsort(first_pos))
     in_comp = order[invc]
 
-    from .cutpursuit import merge_regions
+    if merge:
+        from .cutpursuit import merge_regions
 
-    in_comp = merge_regions(
-        f, nw_h, in_comp, src, tgt, w, float(reg_strength)
-    )
+        in_comp = merge_regions(
+            f, nw_h, in_comp, src, tgt, w, float(reg_strength)
+        )
 
     if cutoff > 0:
         from .components import connected_components
