@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--k_nn_geof", type=int, default=45)
     ap.add_argument("--k_nn_adj", type=int, default=10)
     ap.add_argument("--reg_strength", type=float, default=0.1)
+    ap.add_argument("--warm", type=int, default=1)
     args = ap.parse_args()
 
     from superpoint_graph_tpu.pipeline import PartitionConfig
@@ -42,7 +43,8 @@ def main():
             k_nn_adj=args.k_nn_adj, reg_strength=args.reg_strength,
             spg_adjacency="knn",
         )
-        partition_cloud_big(xyz, rgb, cfg=cfg)  # warm (compiles)
+        if args.warm:
+            partition_cloud_big(xyz, rgb, cfg=cfg)  # warm (compiles)
         t0 = time.perf_counter()
         res = partition_cloud_big(xyz, rgb, cfg=cfg)
         total = time.perf_counter() - t0
