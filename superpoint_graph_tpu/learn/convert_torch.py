@@ -120,8 +120,8 @@ def _fnet_layout(fnet_widths, nfeat_out, bnidx):
 def convert_state_dict(sd, model) -> dict:
     """Map a reference state_dict onto `model`'s (SpgModel) variable tree.
 
-    Supports the f/b/gru/lstm DSL tokens (the published configs); crf is not
-    mapped. Returns {"params": ..., "batch_stats": ...} of numpy arrays.
+    Supports the full f/b/r/d/crf/gru/lstm DSL surface. Returns
+    {"params": ..., "batch_stats": ...} of numpy arrays.
     """
     sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else v
           for k, v in sd.items()}
@@ -196,6 +196,20 @@ def convert_state_dict(sd, model) -> dict:
             cat_all = bool(int(conf[5])) if len(conf) > 5 else True
             if cat_all:
                 nfeat *= int(conf[1]) + 1
+        elif conf[0] == "crf":
+            # ECC_CRFModule stores its GraphConvModule as `_propagation`
+            # (reference graphnet.py:58-64, modules.py:185-191), so the
+            # fnet keys sit one level deeper than gru/lstm's. Matrix
+            # (nfeat^2) filters always; nfeat unchanged.
+            lin_idx, bn_idx = _fnet_layout(
+                model.fnet_widths, nfeat * nfeat, model.fnet_bnidx
+            )
+            for k, j in enumerate(lin_idx):
+                tb.dense(("ecc", f"{d}_fnet", f"Dense_{k}"), sd,
+                         f"ecc.{d}._propagation._fnet.{j}")
+            if bn_idx is not None:
+                tb.bn(("ecc", f"{d}_fnet", "MaskedBatchNorm_0"), sd,
+                      f"ecc.{d}._propagation._fnet.{bn_idx}")
         elif conf[0] in ("r", "d") or not conf[0]:
             continue
         else:

@@ -1,9 +1,9 @@
 """Multi-chip partition of ONE giant cloud with the MEMORY sharded, not just
 the FLOPs.
 
-`partition_dp.sharded_partition_features` replicates the db on every device —
-it scales compute but not memory, so it cannot unlock clouds one chip can't
-hold. This module shards the heavy state across the mesh:
+An earlier design (`partition_dp`, removed) replicated the db on every
+device — it scaled compute but not memory, so it could not unlock clouds one
+chip can't hold. This module shards the heavy state across the mesh:
 
 * **kNN + geof** (`sharded_knn_geof`): the cloud is cell-sorted (same layout
   as ops.knn.knn_bigcloud) and split into contiguous slabs of sorted rows, one
@@ -36,6 +36,29 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from ..ops.cutpursuit_band import B, BIG, HALO, WIN, morton_order
+
+
+def _geof_from(queries, db, nbrs, k):
+    """linearity/planarity/scattering/verticality of [self; k db-neighbors]
+    (same math as ops/geof.compute_geof, with self taken from the query
+    shard; reference ply_c.cpp:436-451)."""
+    from ..ops.eigen3 import eigh3x3
+
+    pos_nei = db[nbrs]
+    pos = jnp.concatenate([queries[:, None, :], pos_nei], axis=1)
+    mean = jnp.mean(pos, axis=1, keepdims=True)
+    centered = pos - mean
+    cov = jnp.einsum("nki,nkj->nij", centered, centered) / float(k + 1)
+    lams, vecs = eigh3x3(cov)
+    lams = jnp.maximum(lams, 0.0)
+    s0 = jnp.sqrt(lams[:, 0] + 1e-10)
+    s1 = jnp.sqrt(lams[:, 1])
+    s2 = jnp.sqrt(lams[:, 2])
+    unary = jnp.einsum("ni,nji->nj", lams, jnp.abs(vecs))
+    norm = jnp.sqrt(jnp.sum(unary * unary, axis=-1) + 1e-10)
+    return jnp.stack(
+        [(s0 - s1) / s0, (s1 - s2) / s0, s2 / s0, unary[:, 2] / norm], axis=-1
+    ).astype(jnp.float32)
 
 
 def _band_windows_local(v_rep, blk0, nb_local, fill):
@@ -502,11 +525,10 @@ def sharded_knn_geof(
     searches and the geof eigen features are purely local. Per-point
     exactness certificates route the rare misses to a chunked host fallback.
 
-    Replaces partition_dp.make_sharded_knn_geof's replicated-db layout
-    (which scaled FLOPs but not memory). Returns (graph_nn dict, geof [n,4],
-    idx [n, k_geof] original-order neighbor table)."""
+    Replaces an earlier replicated-db layout (which scaled FLOPs but not
+    memory). Returns (graph_nn dict, geof [n,4], idx [n, k_geof]
+    original-order neighbor table)."""
     from ..ops.knn import _CELL_OFFSETS
-    from .partition_dp import _geof_from
 
     n = len(xyz)
     k = k_geof

@@ -1,5 +1,10 @@
 """Multi-host input pipeline: per-host file-list sharding + DCN-combined
 edge scaler (process-count-aware, SURVEY.md §2.7)."""
+import json
+import os
+import subprocess
+import sys
+
 import numpy as np
 
 from superpoint_graph_tpu.data.spg_io import EdgeFeatScaler
@@ -80,3 +85,73 @@ class TestGlobalScaler:
         np.testing.assert_allclose(
             s_combined.scale, s_whole.scale, rtol=1e-4
         )
+
+
+_WORKER = r"""
+import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, n, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+jax.distributed.initialize(coordinator_address="localhost:" + port,
+                           num_processes=n, process_id=pid)
+import numpy as np
+from superpoint_graph_tpu.parallel.multihost import global_edge_scaler
+
+rng = np.random.RandomState(0)
+all_entries = [
+    (None, None, None, rng.randn(20, 5).astype(np.float32) * 3 + 1, None)
+    for _ in range(6)
+]
+shard = all_entries[pid::n]
+# no process_count passed: exercises the REAL jax.process_count() +
+# multihost_utils.process_allgather path over the Gloo backend
+scaler = global_edge_scaler(shard)
+print(json.dumps({"pid": pid,
+                  "mean": scaler.mean.tolist(),
+                  "scale": scaler.scale.tolist()}))
+"""
+
+
+class TestTwoProcessScaler:
+    def test_real_allgather_two_processes(self, tmp_path, rng):
+        """Launch TWO actual jax processes (Gloo CPU collectives) and check
+        the DCN scaler path end-to-end — no monkeypatching (each worker fits
+        on its own shard; both must produce the whole-set scaler)."""
+        port = str(29000 + os.getpid() % 1000)
+        worker = tmp_path / "worker.py"
+        worker.write_text(_WORKER)
+        env = dict(os.environ)
+        env["PYTHONPATH"] = (
+            "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+        )
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(i), "2", port],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True, env=env,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            stdout, stderr = p.communicate(timeout=180)
+            assert p.returncode == 0, f"worker failed:\n{stderr[-2000:]}"
+            # Gloo prints connection banners on stdout; take the JSON line
+            line = [l for l in stdout.splitlines()
+                    if l.startswith('{"pid"')][-1]
+            outs.append(json.loads(line))
+
+        # both hosts computed identical scalers...
+        np.testing.assert_allclose(outs[0]["mean"], outs[1]["mean"])
+        np.testing.assert_allclose(outs[0]["scale"], outs[1]["scale"])
+        # ...equal to the whole-set fit
+        rs = np.random.RandomState(0)
+        all_entries = [
+            (None, None, None, rs.randn(20, 5).astype(np.float32) * 3 + 1,
+             None)
+            for _ in range(6)
+        ]
+        s_whole = EdgeFeatScaler().fit(all_entries)
+        np.testing.assert_allclose(outs[0]["mean"], s_whole.mean, rtol=1e-5)
+        np.testing.assert_allclose(outs[0]["scale"], s_whole.scale,
+                                   rtol=1e-4)

@@ -72,34 +72,6 @@ class TestDataParallel:
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
 
 
-class TestShardedPartitionFeatures:
-    def test_matches_single_device(self, rng):
-        """kNN+geof sharded over the 8-dev mesh must match the single-device
-        pipeline (documented: approx_min_k ties may swap boundary ranks)."""
-        import numpy as np
-
-        from superpoint_graph_tpu.data.synthetic import synthetic_room
-        from superpoint_graph_tpu.parallel.mesh import make_mesh
-        from superpoint_graph_tpu.parallel.partition_dp import (
-            sharded_partition_features,
-        )
-        from superpoint_graph_tpu.pipeline import PartitionConfig, partition_features
-
-        xyz, _, _, _ = synthetic_room(np.random.RandomState(2), n_points=3000)
-        mesh = make_mesh(8)
-        g_sh, geof_sh = sharded_partition_features(xyz, 5, 12, mesh)
-        cfg = PartitionConfig(k_nn_adj=5, k_nn_geof=12)
-        g_1, geof_1 = partition_features(xyz, cfg)
-        # neighbor agreement high; geof close wherever neighborhoods agree
-        same = (
-            g_sh["target"].reshape(-1, 5) == g_1["target"].reshape(-1, 5)
-        ).all(1)
-        assert same.mean() > 0.95
-        np.testing.assert_allclose(
-            geof_sh[same], geof_1[same], rtol=5e-2, atol=5e-2
-        )
-
-
 class TestKnnVsDb:
     def test_matches_self_knn(self, rng):
         import jax.numpy as jnp

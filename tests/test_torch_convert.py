@@ -33,6 +33,24 @@ def ref_modules():
     import learning.graphnet as ref_graphnet
     import learning.pointnet as ref_pointnet
 
+    # The reference's GraphConvModule.forward (used only by the crf token)
+    # instantiates the autograd function legacy-style, which modern torch
+    # rejects; shim it to the modern `.apply` call with identical arguments
+    # (exactly how RNNGraphConvModule invokes the same function,
+    # modules.py:175-176).
+    import learning.ecc as ref_ecc
+
+    def _gcm_forward(self, input):
+        idxn, idxe, degs, degs_gpu, edgefeats = self._gci.get_buffers()
+        weights = self._fnet(edgefeats)
+        if weights.size(1) == self._in_channels * self._out_channels:
+            weights = weights.view(-1, self._in_channels, self._out_channels)
+        return ref_ecc.GraphConvFunction.apply(
+            input, weights, self._in_channels, self._out_channels,
+            idxn, idxe, degs, degs_gpu, self._edge_mem_limit,
+        )
+
+    ref_ecc.GraphConvModule.forward = _gcm_forward
     return torch, ref_graphnet, ref_pointnet
 
 
@@ -82,7 +100,8 @@ def _randomize_torch(model, rng):
 
 @pytest.mark.parametrize(
     "config,prelast_do",
-    [("gru_3_0,f_6", 0.0), ("gru_2,f_6", 0.5), ("lstm_2_0,f_6", 0.0)],
+    [("gru_3_0,f_6", 0.0), ("gru_2,f_6", 0.5), ("lstm_2_0,f_6", 0.0),
+     ("gru_2_0,f_6,crf_2", 0.0)],
 )
 def test_logits_match_reference(ref_modules, config, prelast_do):
     torch, ref_graphnet, ref_pointnet = ref_modules
@@ -122,7 +141,8 @@ def test_logits_match_reference(ref_modules, config, prelast_do):
             torch.from_numpy(clouds.transpose(0, 2, 1)),
             torch.from_numpy(glob),
         )
-        tmodel.ecc.set_info(GciStub(torch, src, degs, ef), cuda=False)
+        gci = GciStub(torch, src, degs, ef)
+        tmodel.ecc.set_info([gci] * len(tmodel.ecc.gconvs), cuda=False)
         logits_t = tmodel.ecc(emb_t).numpy()
 
     # --- ours, from the converted state_dict ---
