@@ -132,9 +132,21 @@ def merge_regions(
     np.add.at(pair_w, inv0, w[cross])
     pair_a = (key0 // n_comp).astype(np.int64)
     pair_b = (key0 % n_comp).astype(np.int64)
-    label = np.arange(n_comp)  # current region label per original region
+    # union-find: label[i] points toward the surviving (smaller) region id;
+    # compressed to roots at the top of every round. Pointer writes are O(1)
+    # per merge — a full `label[label == gone] = keep` rewrite per merge was
+    # O(n_comp) and dominated the heal at giant-cloud region counts.
+    label = np.arange(n_comp)
+
+    def _compress(lab):
+        while True:
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                return lab
+            lab = nxt[nxt]
 
     for _ in range(max_rounds):
+        label = _compress(label)
         A = label[pair_a]
         B = label[pair_b]
         live = A != B
@@ -164,7 +176,7 @@ def merge_regions(
             if used[a] or used[b]:
                 continue
             keep, gone = min(a, b), max(a, b)
-            label[label == gone] = keep
+            label[gone] = keep  # a, b are roots this round -> depth <= 2
             S[keep] += S[gone]
             m[keep] += m[gone]
             used[a] = used[b] = True
@@ -172,7 +184,7 @@ def merge_regions(
         if not changed:
             break
 
-    return _densify_first_occurrence(label[in_comp])
+    return _densify_first_occurrence(_compress(label)[in_comp])
 
 
 def _densify_first_occurrence(labels: np.ndarray) -> np.ndarray:

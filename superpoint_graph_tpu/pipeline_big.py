@@ -180,9 +180,11 @@ def partition_cloud_big(
     times["partition"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    graph_sp = compute_sp_graph(
+    from .graph.spg_device import compute_sp_graph_device
+
+    graph_sp = compute_sp_graph_device(
         xyz, cfg.d_se_max, in_component, components, labels, n_labels,
-        adjacency="knn", knn_edges=(src, tgt),
+        idx_adj=idx_adj,
     )
     times["spg"] = time.perf_counter() - t0
     times["knn_info"] = info.get("stage_seconds")
