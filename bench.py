@@ -16,7 +16,14 @@ not buildable here — its cut-pursuit submodule is absent upstream; see
 BASELINE.md).
 
 Prints ONE json line:
-{"metric", "value", "unit", "vs_baseline"} plus per-leg breakdown keys.
+{"metric", "value", "unit", "vs_baseline"} plus per-leg breakdown keys,
+`train_steps_per_sec`, and absolute-efficiency accounting (`mfu_*`,
+`hbm_util_cp`): analytic FLOPs/bytes of each stage's dominant kernels
+divided by measured time and the device's peak (VERDICT r2 items 5-6).
+
+Every TPU leg is measured best-of-N (N=3): run-to-run wall clock on the
+tunneled host varies up to 4x (BASELINE.md), so the minimum — not a single
+draw — is the stable statistic the driver records.
 """
 from __future__ import annotations
 
@@ -47,6 +54,27 @@ _enable_compile_cache()
 
 N_POINTS = 60000
 N_REPEATS = 3
+N_BEST = 3  # best-of-N per TPU leg (4x run-to-run variance, BASELINE.md)
+
+
+def device_peaks():
+    """(device_kind, bf16 peak FLOP/s, HBM bytes/s) of device 0. Values from
+    public TPU spec sheets; unknown kinds assume v5e (the bench target)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    table = {
+        "v5 lite": (197e12, 819e9),   # v5e
+        "v5e": (197e12, 819e9),
+        "v5p": (459e12, 2765e9),
+        "v4": (275e12, 1228e9),
+        "v6": (918e12, 1640e9),       # Trillium
+    }
+    low = kind.lower()
+    for k, v in table.items():
+        if k in low:
+            return kind, v[0], v[1]
+    return kind, 197e12, 819e9
 
 # flagship S3DIS model (reference S3DIS.md:24 recipe)
 MODEL_KW = dict(
@@ -73,14 +101,81 @@ def make_clouds():
 
 
 def tpu_partition(clouds, cfg):
-    """(mean seconds per cloud, results) through the 2-stage pipeline."""
+    """(best-of-N mean seconds per cloud, results) through the 2-stage
+    pipeline."""
     from superpoint_graph_tpu.pipeline import partition_cloud, partition_clouds
 
     xyz0, rgb0, lab0, obj0 = clouds[0]
     partition_cloud(xyz0, rgb0, lab0, obj0, n_labels=13, cfg=cfg)  # warm
-    t0 = time.perf_counter()
-    results = partition_clouds(clouds, cfg, n_labels=13)
-    return (time.perf_counter() - t0) / len(clouds), results
+    best = float("inf")
+    for _ in range(N_BEST):
+        t0 = time.perf_counter()
+        results = partition_clouds(clouds, cfg, n_labels=13)
+        best = min(best, (time.perf_counter() - t0) / len(clouds))
+    return best, results
+
+
+def tpu_stage_roofline(cloud, cfg):
+    """Best-of-N per-stage times for the two FLOP-dominant partition stages
+    (kNN distance matmuls, band cut-pursuit ICM sweeps) on one room, plus the
+    analytic FLOP/byte counts of their dominant kernels."""
+    import jax
+    import jax.numpy as jnp
+
+    from superpoint_graph_tpu.ops import cutpursuit_band as cpb
+    from superpoint_graph_tpu.ops import geof as geof_ops
+    from superpoint_graph_tpu.ops.knn import compute_graph_nn_2
+    from superpoint_graph_tpu.pipeline import _assemble_features_device
+
+    xyz, rgb, _, _ = cloud
+    xyz = np.asarray(xyz, np.float32)
+    n = len(xyz)
+    out = {}
+
+    t_knn, t_cp = float("inf"), float("inf")
+    for _ in range(N_BEST + 1):  # first pass warms, then best-of-N
+        t0 = time.perf_counter()
+        graph_nn, target_geof, dev = compute_graph_nn_2(
+            xyz, cfg.k_nn_adj, cfg.k_nn_geof, return_device=True
+        )
+        # sync via a small fetch (block_until_ready can lie on the tunnel)
+        float(jnp.sum(dev["d2"][:4, 0]))
+        t_knn = min(t_knn, time.perf_counter() - t0)
+
+        n_pad = 1 << max(int(np.ceil(np.log2(max(n, 1024)))), 10)
+        xyz_d = jnp.pad(jnp.asarray(xyz), ((0, n_pad - n), (0, 0)))
+        tg = jnp.pad(target_geof, ((0, n_pad - n), (0, 0)))
+        dev["geof"] = geof_ops.compute_geof(xyz_d, tg)
+        rgb_p = np.zeros((n_pad, 3), np.uint8)
+        rgb_p[:n] = np.asarray(rgb, np.uint8)
+        f_dev = _assemble_features_device(dev["geof"], jnp.asarray(rgb_p))
+        float(jnp.sum(f_dev[:4, 0]))
+
+        t0 = time.perf_counter()
+        cpb.cutpursuit_band_device(
+            f_dev, dev["idx"][:, : cfg.k_nn_adj], dev["d2"][:, : cfg.k_nn_adj],
+            xyz, n, cfg.reg_strength,
+            lambda_edge_weight=cfg.lambda_edge_weight,
+        )
+        t_cp = min(t_cp, time.perf_counter() - t0)
+
+    # kNN: blocked [n,3]x[3,n] distance matmul = 2*3*n^2 useful FLOPs
+    # (selection/approx_min_k excluded — MFU counts algorithmic work)
+    out["t_knn"] = t_knn
+    out["flops_knn"] = 2.0 * 3.0 * float(n) * float(n)
+
+    # band CP: the hot kernel is the [NB,B,WIN]x[NB,WIN] ICM matvec —
+    # flow_steps * 2*icm_sweeps sweeps per EXECUTED outer iteration
+    # (LAST_SOLVE_STATS carries the real trip count), 2*n_pad*WIN FLOPs and
+    # n_pad*WIN*2 bytes (bf16 band read) per sweep. CC propagation sweeps
+    # (compare ops, not FLOPs) excluded -> both are lower bounds.
+    st = cpb.LAST_SOLVE_STATS
+    sweeps = st["iters"] * 2 * 2 * 3  # flow_steps=2, icm_sweeps=3
+    out["t_cp"] = t_cp
+    out["cp_outer_iters"] = st["iters"]
+    out["flops_cp"] = sweeps * 2.0 * st["n_pad"] * st["win"]
+    out["bytes_cp"] = sweeps * 2.0 * st["n_pad"] * st["win"]
+    return out
 
 
 def build_eval_batches(results, tmpdir):
@@ -134,8 +229,10 @@ def build_eval_batches(results, tmpdir):
 
 
 def tpu_inference(batches):
-    """Steady-state eval-step seconds per cloud for the flagship model."""
+    """Steady-state eval-step (sec/cloud, flops/cloud) for the flagship
+    model; best-of-N passes, XLA-cost-analysis FLOPs."""
     import jax
+    import jax.numpy as jnp
 
     from superpoint_graph_tpu.learn.train import Trainer
     from superpoint_graph_tpu.models import SpgModel
@@ -143,15 +240,52 @@ def tpu_inference(batches):
     model = SpgModel(n_classes=13, **MODEL_KW)
     trainer = Trainer(model, checkpoint_ptn=False)
     state = trainer.init(jax.random.PRNGKey(0), batches[0])
-    for b in batches:  # warm every padding bucket
+    flops = 0.0
+    for b in batches:  # warm every padding bucket + XLA's own FLOP count
         trainer.eval_step(state, b)
-    reps = 3  # repeat passes so per-call dispatch noise averages out
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        for b in batches:
-            loss, logits = trainer.eval_step(state, b)
-    logits.block_until_ready()
-    return (time.perf_counter() - t0) / (len(batches) * reps)
+        ca = trainer._eval_step.lower(state, b).compile().cost_analysis()
+        flops += float((ca[0] if isinstance(ca, list) else ca)["flops"])
+    reps = 3  # inner reps amortize per-call dispatch noise
+    best = float("inf")
+    for _ in range(N_BEST):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            for b in batches:
+                loss, logits = trainer.eval_step(state, b)
+        float(jnp.sum(logits))  # tunnel-safe sync
+        best = min(best, (time.perf_counter() - t0) / (len(batches) * reps))
+    return best, flops / len(batches)
+
+
+def tpu_train(batches):
+    """Steady-state train-step throughput on the flagship config — the
+    reference's other headline loop (main.py:176-226). Returns
+    (steps/sec best-of-N, flops/step from XLA cost analysis)."""
+    import jax
+    import jax.numpy as jnp
+
+    from superpoint_graph_tpu.learn.train import Trainer
+    from superpoint_graph_tpu.models import SpgModel
+
+    model = SpgModel(n_classes=13, **MODEL_KW)
+    trainer = Trainer(model, checkpoint_ptn=False)
+    state = trainer.init(jax.random.PRNGKey(0), batches[0])
+    rng = jax.random.PRNGKey(1)
+    flops = 0.0
+    for b in batches:  # warm every padding bucket
+        state, loss, _ = trainer.train_step(state, b, rng)
+        ca = trainer._train_step.lower(state, b, rng).compile().cost_analysis()
+        flops += float((ca[0] if isinstance(ca, list) else ca)["flops"])
+    reps = 3
+    best = float("inf")
+    for _ in range(N_BEST):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            for b in batches:
+                state, loss, _ = trainer.train_step(state, b, rng)
+        float(loss)  # tunnel-safe sync
+        best = min(best, (time.perf_counter() - t0) / (len(batches) * reps))
+    return 1.0 / best, flops / len(batches)
 
 
 def host_partition(xyz, rgb, cfg):
@@ -266,7 +400,10 @@ def main():
     t_part, results = tpu_partition(clouds, cfg)
     tmpdir = tempfile.mkdtemp(prefix="spgt_bench_")
     batches = build_eval_batches(results[: N_REPEATS], tmpdir)
-    t_inf = tpu_inference(batches)
+    t_inf, flops_inf = tpu_inference(batches)
+    steps_per_sec, flops_train = tpu_train(batches)
+    roof = tpu_stage_roofline(clouds[0], cfg)
+    kind, peak_flops, peak_bw = device_peaks()
 
     part_mpts = N_POINTS / t_part / 1e6
     inf_mpts = N_POINTS / t_inf / 1e6
@@ -295,6 +432,23 @@ def main():
                 "inference_mpts": round(inf_mpts, 4),
                 "partition_vs_baseline": round(vs_part, 3),
                 "inference_vs_baseline": round(vs_inf, 3),
+                "train_steps_per_sec": round(steps_per_sec, 3),
+                # absolute efficiency vs device peak (lower bounds: dominant
+                # kernels only; see tpu_stage_roofline docstring)
+                "device_kind": kind,
+                "mfu_knn": round(roof["flops_knn"] / roof["t_knn"]
+                                 / peak_flops, 4),
+                "mfu_cp": round(roof["flops_cp"] / roof["t_cp"]
+                                / peak_flops, 4),
+                "hbm_util_cp": round(roof["bytes_cp"] / roof["t_cp"]
+                                     / peak_bw, 4),
+                "mfu_inference": round(flops_inf / t_inf / peak_flops, 4),
+                "mfu_train": round(flops_train / (1.0 / steps_per_sec)
+                                   / peak_flops, 4),
+                "t_knn_sec": round(roof["t_knn"], 4),
+                "t_cp_sec": round(roof["t_cp"], 4),
+                "cp_outer_iters": roof["cp_outer_iters"],
+                "best_of": N_BEST,
             }
         )
     )

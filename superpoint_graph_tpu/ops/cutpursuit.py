@@ -132,6 +132,36 @@ def merge_regions(
     np.add.at(pair_w, inv0, w[cross])
     pair_a = (key0 // n_comp).astype(np.int64)
     pair_b = (key0 % n_comp).astype(np.int64)
+    label = merge_rounds(
+        S, m, pair_a, pair_b, pair_w, n_comp, reg, max_rounds=max_rounds
+    )
+    return _densify_first_occurrence(label[in_comp])
+
+
+def merge_rounds(
+    S: np.ndarray,
+    m: np.ndarray,
+    pair_a: np.ndarray,
+    pair_b: np.ndarray,
+    pair_w: np.ndarray,
+    n_comp: int,
+    reg: float,
+    max_rounds: int = 10,
+) -> np.ndarray:
+    """Region-level greedy merge rounds over precomputed sufficient stats.
+
+    Takes per-region weighted feature sums `S` [n_comp, d], masses `m`
+    [n_comp], and the deduplicated adjacent-region pairs (a < b) with summed
+    cut weights. The edge-level reduction that produces these can run on
+    HOST (merge_regions) or on DEVICE (ops.merge_device.pair_stats) — this
+    loop only ever touches O(n_comp + n_pairs) data. Mutates S/m in place.
+    Returns the path-compressed label array [n_comp] mapping region -> its
+    surviving root."""
+    S = np.asarray(S, np.float64)
+    m = np.maximum(np.asarray(m, np.float64), 1e-12)
+    pair_a = np.asarray(pair_a, np.int64)
+    pair_b = np.asarray(pair_b, np.int64)
+    pair_w = np.asarray(pair_w, np.float64)
     # union-find: label[i] points toward the surviving (smaller) region id;
     # compressed to roots at the top of every round. Pointer writes are O(1)
     # per merge — a full `label[label == gone] = keep` rewrite per merge was
@@ -184,7 +214,7 @@ def merge_regions(
         if not changed:
             break
 
-    return _densify_first_occurrence(_compress(label)[in_comp])
+    return _compress(label)
 
 
 def _densify_first_occurrence(labels: np.ndarray) -> np.ndarray:

@@ -33,6 +33,11 @@ HALO = 2         # window = (2*HALO + 1) blocks
 WIN = (2 * HALO + 1) * B
 BIG = jnp.int32(2**30)
 
+# Observability for roofline accounting (bench.py): per solve, the wrapper
+# records the executed outer-iteration count and the band shape so analytic
+# FLOPs/bytes can use ACTUAL trip counts instead of static upper bounds.
+LAST_SOLVE_STATS: dict = {}
+
 
 # ---------------------------------------------------------------------------
 # host-side preparation
@@ -337,7 +342,7 @@ def _solve_band(
     energy0 = energy_of(comp0, means_of(comp0))
     state = (comp0, jnp.zeros(n, bool), energy0, jnp.int32(0), jnp.bool_(True))
     comp, saturated, energy, it, _ = jax.lax.while_loop(cond, body, state)
-    return comp, energy
+    return comp, energy, it
 
 
 # ---------------------------------------------------------------------------
@@ -414,6 +419,75 @@ def _prep_band_device(
     return f_p, band_w, of_src, of_tgt, of_w, nw, of_count
 
 
+@partial(jax.jit, static_argnames=("k_adj", "chunk_pad", "of_cap"))
+def _prep_band_chunk(
+    f,          # [n_pad_g, d] features, ORIGINAL order, device-resident
+    idx_adj,    # [n_pad_g, k_adj] int32 kNN neighbors (original ids)
+    d2_adj,     # [n_pad_g, k_adj] f32 squared neighbor distances
+    perm_ext,   # [n_pad_g + chunk_pad] int32 Morton perm, tail-padded
+    inv,        # [n_pad_g] int32 inverse Morton permutation
+    x0,         # scalar int32: window start (Morton position)
+    n_ext,      # scalar int32: real rows in this window (x1 - x0)
+    dmean,      # scalar f32: GLOBAL mean kNN-adjacency distance
+    lam,        # scalar f32: lambda_edge_weight
+    *,
+    k_adj: int,
+    chunk_pad: int,
+    of_cap: int,
+):
+    """Per-chunk band construction for the giant-cloud chunked solver —
+    everything stays on device (the host-fed path uploaded ~150 MB of edge
+    arrays per chunk over the tunnel). The chunk is rows [x0, x0+n_ext) of
+    the GLOBAL Morton order; cross-chunk edges are dropped (healed later by
+    the global merge step, pipeline_big.chunked_cutpursuit). One executable
+    serves every chunk (x0/n_ext are traced scalars)."""
+    rows = jax.lax.dynamic_slice(perm_ext, (x0,), (chunk_pad,))
+    iota = jnp.arange(chunk_pad, dtype=jnp.int32)
+    real = iota < n_ext
+
+    f_rows = jnp.where(real[:, None], f[rows], 0.0)
+    tgt_g = idx_adj[rows]                       # [chunk_pad, k_adj] global
+    tgt_loc = inv[tgt_g] - x0                   # window-local Morton index
+    d0 = jnp.sqrt(jnp.maximum(d2_adj[rows], 0.0))
+    w0 = 1.0 / (lam + d0 / jnp.maximum(dmean, 1e-12))
+
+    src0 = jnp.repeat(iota, k_adj)
+    tgt0 = tgt_loc.reshape(-1)
+    w0 = w0.reshape(-1)
+    ok = real[src0] & (tgt0 >= 0) & (tgt0 < n_ext)
+    w0 = jnp.where(ok, w0, 0.0)
+
+    src = jnp.concatenate([src0, tgt0])
+    tgt = jnp.concatenate([tgt0, src0])
+    w = jnp.concatenate([w0, w0])
+    okb = jnp.concatenate([ok, ok])
+    src = jnp.where(okb, src, 0)
+    tgt = jnp.where(okb, tgt, 0)
+
+    p = src // B
+    c = tgt - (p - HALO) * B
+    inband = (c >= 0) & (c < WIN) & (w > 0.0)
+    band = jnp.zeros((chunk_pad, WIN), jnp.bfloat16)
+    band = band.at[
+        jnp.where(inband, src, 0), jnp.where(inband, c, 0)
+    ].add(jnp.where(inband, w, 0.0).astype(jnp.bfloat16))
+    band_w = band.reshape(chunk_pad // B, B, WIN)
+
+    is_of = (~inband) & (w > 0.0)
+    pos = jnp.cumsum(is_of.astype(jnp.int32)) - 1
+    of_count = jnp.sum(is_of.astype(jnp.int32))
+    tgt_pos = jnp.where(is_of & (pos < of_cap), pos, of_cap)
+    of_src = jnp.zeros(of_cap + 1, jnp.int32).at[tgt_pos].set(src)[:of_cap]
+    of_tgt = jnp.zeros(of_cap + 1, jnp.int32).at[tgt_pos].set(tgt)[:of_cap]
+    of_w = (
+        jnp.zeros(of_cap + 1, jnp.float32)
+        .at[tgt_pos]
+        .set(jnp.where(is_of, w, 0.0))[:of_cap]
+    )
+    nw = real.astype(jnp.float32)
+    return f_rows, band_w, of_src, of_tgt, of_w, nw, of_count
+
+
 def cutpursuit_band_device(
     f_dev,
     idx_adj_dev,
@@ -463,11 +537,15 @@ def cutpursuit_band_device(
         of_src, of_tgt, of_w = (
             of_src[:cap2], of_tgt[:cap2], of_w[:cap2]
         )
-    comp, _ = _solve_band(
+    comp, _, iters = _solve_band(
         f_p, band_w, of_src, of_tgt, of_w, nw,
         jnp.float32(reg_strength), jnp.float32(weight_decay), **solver_kw,
     )
     comp_h = np.asarray(comp)
+    LAST_SOLVE_STATS.update(
+        n_pad=int(n_pad), win=WIN, d=int(f_p.shape[1]),
+        iters=int(jax.device_get(iters)),
+    )
     comp_h = comp_h[inv[:n]]  # back to original order
     _, first_pos, invc = np.unique(
         comp_h, return_index=True, return_inverse=True
@@ -580,7 +658,7 @@ def cutpursuit_band(
     band_w = _build_band(
         n_pad, jnp.asarray(row_p), jnp.asarray(col_p), jnp.asarray(flat_w_p)
     )
-    comp, _ = _solve_band(
+    comp, _, iters = _solve_band(
         jnp.asarray(f_p),
         band_w,
         jnp.asarray(of_src_p),
@@ -592,6 +670,10 @@ def cutpursuit_band(
         **solver_kw,
     )
     comp = np.asarray(comp)[:n][inv]  # back to original vertex order
+    LAST_SOLVE_STATS.update(
+        n_pad=int(n_pad), win=WIN, d=int(f.shape[1]),
+        iters=int(jax.device_get(iters)),
+    )
 
     _, first_pos, invc = np.unique(comp, return_index=True, return_inverse=True)
     order = np.argsort(np.argsort(first_pos))

@@ -162,3 +162,100 @@ class TestMergeRegions:
         merged = merge_regions(f, np.ones(h * w), gt.astype(np.int64),
                                src, tgt, np.ones(len(src)), 0.1)
         assert merged.max() == 1  # both regions survive
+
+
+class TestMergeDevice:
+    """Device edge->region reduction (ops.merge_device) vs the host oracle."""
+
+    def test_pair_stats_match_host(self, rng):
+        import jax.numpy as jnp
+
+        from superpoint_graph_tpu.ops.merge_device import pair_stats
+
+        h, w = 16, 24
+        src, tgt = grid_graph(h, w)
+        n = h * w
+        ew = rng.rand(len(src)).astype(np.float32) + 0.1
+        f = rng.randn(n, 3).astype(np.float32)
+        comp = ((np.arange(n).reshape(h, w) % w) // 3).ravel().astype(np.int64)
+        n_comp = int(comp.max()) + 1
+
+        S, m, pa, pb, pw = pair_stats(
+            jnp.asarray(f), jnp.ones(n, jnp.float32),
+            jnp.asarray(comp, jnp.int32),
+            jnp.asarray(src, jnp.int32), jnp.asarray(tgt, jnp.int32),
+            jnp.asarray(ew), n_comp,
+        )
+        # host oracle reduction (the exact code path of merge_regions)
+        S_h = np.zeros((n_comp, 3))
+        np.add.at(S_h, comp, f.astype(np.float64))
+        m_h = np.zeros(n_comp)
+        np.add.at(m_h, comp, 1.0)
+        ca, cb = comp[src], comp[tgt]
+        cross = ca != cb
+        lo = np.minimum(ca[cross], cb[cross])
+        hi = np.maximum(ca[cross], cb[cross])
+        key, inv = np.unique(lo * n_comp + hi, return_inverse=True)
+        pw_h = np.zeros(len(key))
+        np.add.at(pw_h, inv, ew[cross].astype(np.float64))
+
+        np.testing.assert_allclose(S, S_h, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(m, m_h, rtol=1e-6)
+        assert len(pa) == len(key)
+        np.testing.assert_array_equal(pa, key // n_comp)
+        np.testing.assert_array_equal(pb, key % n_comp)
+        np.testing.assert_allclose(pw, pw_h, rtol=1e-5)
+
+    def test_merge_device_matches_merge_regions(self, rng):
+        import jax.numpy as jnp
+
+        from superpoint_graph_tpu.ops.cutpursuit import (
+            _densify_first_occurrence, merge_regions,
+        )
+        from superpoint_graph_tpu.ops.merge_device import merge_regions_device
+
+        h, w = 12, 18
+        src, tgt = grid_graph(h, w)
+        n = h * w
+        ew = np.ones(len(src), np.float32)
+        f = rng.randn(n, 3).astype(np.float32) * 0.05
+        frag = ((np.arange(n).reshape(h, w) % w) // 2).ravel().astype(np.int64)
+        reg = 0.5
+
+        host = merge_regions(f, np.ones(n), frag, src, tgt, ew, reg)
+        label = merge_regions_device(
+            jnp.asarray(f), jnp.ones(n, jnp.float32),
+            jnp.asarray(frag, jnp.int32),
+            jnp.asarray(src, jnp.int32), jnp.asarray(tgt, jnp.int32),
+            jnp.asarray(ew), int(frag.max()) + 1, reg,
+        )
+        dev = _densify_first_occurrence(label[frag])
+        np.testing.assert_array_equal(dev, host)
+
+    def test_padded_edges_invariant(self, rng):
+        """Zero-weight padding edges must not change the result."""
+        import jax.numpy as jnp
+
+        from superpoint_graph_tpu.ops.merge_device import pair_stats
+
+        h, w = 6, 9
+        src, tgt = grid_graph(h, w)
+        n = h * w
+        ew = rng.rand(len(src)).astype(np.float32) + 0.1
+        f = rng.randn(n, 2).astype(np.float32)
+        comp = (np.arange(n) % 5).astype(np.int64)
+
+        args = lambda s, t, e: (
+            jnp.asarray(f), jnp.ones(n, jnp.float32),
+            jnp.asarray(comp, jnp.int32),
+            jnp.asarray(s, jnp.int32), jnp.asarray(t, jnp.int32),
+            jnp.asarray(e, jnp.float32), 5,
+        )
+        base = pair_stats(*args(src, tgt, ew))
+        pad = 37
+        s2 = np.concatenate([src, np.zeros(pad, np.int64)])
+        t2 = np.concatenate([tgt, np.full(pad, n - 1, np.int64)])
+        e2 = np.concatenate([ew, np.zeros(pad, np.float32)])
+        padded = pair_stats(*args(s2, t2, e2))
+        for a, b in zip(base, padded):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
