@@ -11,7 +11,7 @@ partition/graphs.py:75-210) but every reduction runs on the TPU:
 * per-component stats (dedup, centroid, ddof-1 covariance, analytic
   eigenvalues -> length/surface/volume, label histograms) — one f32 sort +
   segment reductions + the batched closed-form 3x3 eigensolver
-  (ops/eigen3.eigh3x3).
+  (ops/eigen3.eigvals3x3_cols, column-wise to dodge TPU [N,3,3] tiling).
 
 Host fallback (graph/spg.py) remains for the Delaunay adjacency mode; this
 module covers the kNN-adjacency mode used by the fused and giant pipelines.
@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.eigen3 import eigh3x3
+from ..ops.eigen3 import eigvals3x3_cols
 
 
 @partial(jax.jit, static_argnames=("k", "d_max"))
@@ -47,7 +47,11 @@ def _sort_support_edges(idx_adj, in_comp, xyz, *, d_max: float, k: int):
     cv = in_comp[v]
     ok = cu != cv
     if d_max > 0:
-        d2 = jnp.sum((xyz[u] - xyz[v]) ** 2, axis=1)
+        # column-wise: an [E, 3] gather is tiled to [E, 128] on TPU (42x the
+        # payload — OOMed at 2e6 points / 4e7 edges)
+        d2 = sum(
+            (xyz[:, a][u] - xyz[:, a][v]) ** 2 for a in range(3)
+        )
         ok &= d2 < jnp.float32(d_max) ** 2
 
     # sort 1: lexicographic by (u, v); invalid rows pushed to the tail
@@ -79,27 +83,35 @@ def _sort_support_edges(idx_adj, in_comp, xyz, *, d_max: float, k: int):
 
 @partial(jax.jit, static_argnames=("cap",))
 def _superedge_stats(xyz, su, sv, cu, cv, valid, head_pair, *, cap: int):
-    """Masked segment reductions over the pair-sorted support edges."""
+    """Masked segment reductions over the pair-sorted support edges.
+
+    All edge-length arrays are kept 1-D per coordinate: a single [E, 3]
+    delta gather is tiled to [E, 128] on TPU (20 GB at 4e7 edges — the
+    r3 OOM). Returns per-coordinate mean/std columns; the host stacks."""
     n = xyz.shape[0]
     seg = jnp.cumsum(head_pair.astype(jnp.int32)) - 1
     seg = jnp.where(valid, jnp.minimum(seg, cap - 1), cap - 1)
     w = valid.astype(jnp.float32)
-    delta = xyz[jnp.minimum(su, n - 1)] - xyz[jnp.minimum(sv, n - 1)]
-    delta = delta * w[:, None]
     cnt = jax.ops.segment_sum(w, seg, num_segments=cap)
     denom = jnp.maximum(cnt, 1.0)
-    dmean = jax.ops.segment_sum(delta, seg, num_segments=cap) / denom[:, None]
-    # E[x^2] - E[x]^2 (ddof=0, np.std parity, graphs.py:204); deltas are
-    # voxel-scale so f32 squares are safe
-    d2 = jax.ops.segment_sum(delta * delta, seg, num_segments=cap)
-    dvar = jnp.maximum(d2 / denom[:, None] - dmean * dmean, 0.0)
-    dstd = jnp.where((cnt > 1)[:, None], jnp.sqrt(dvar), 0.0)
+    sui = jnp.minimum(su, n - 1)
+    svi = jnp.minimum(sv, n - 1)
+    means, stds = [], []
+    norm2 = jnp.zeros_like(w)
+    for a in range(3):
+        col = xyz[:, a]
+        da = (col[sui] - col[svi]) * w
+        s1 = jax.ops.segment_sum(da, seg, num_segments=cap)
+        s2 = jax.ops.segment_sum(da * da, seg, num_segments=cap)
+        # E[x^2] - E[x]^2 (ddof=0, np.std parity, graphs.py:204); deltas
+        # are voxel-scale so f32 squares are safe
+        mean_a = s1 / denom
+        var_a = jnp.maximum(s2 / denom - mean_a * mean_a, 0.0)
+        means.append(mean_a)
+        stds.append(jnp.where(cnt > 1, jnp.sqrt(var_a), 0.0))
+        norm2 = norm2 + da * da
     dnorm = (
-        jax.ops.segment_sum(
-            jnp.sqrt(jnp.sum(delta * delta, axis=1)) * w, seg,
-            num_segments=cap,
-        )
-        / denom
+        jax.ops.segment_sum(jnp.sqrt(norm2), seg, num_segments=cap) / denom
     )
     com_src = jax.ops.segment_max(
         jnp.where(valid, cu, -1), seg, num_segments=cap
@@ -107,7 +119,7 @@ def _superedge_stats(xyz, su, sv, cu, cv, valid, head_pair, *, cap: int):
     com_tgt = jax.ops.segment_max(
         jnp.where(valid, cv, -1), seg, num_segments=cap
     )
-    return com_src, com_tgt, dmean, dstd, dnorm, cnt
+    return com_src, com_tgt, tuple(means), tuple(stds), dnorm, cnt
 
 
 @partial(jax.jit, static_argnames=("cap",))
@@ -125,32 +137,43 @@ def _component_stats_device(xyz, in_comp, *, cap: int):
          | (y_s[1:] != y_s[:-1]) | (z_s[1:] != z_s[:-1])]
     )
     w = first.astype(jnp.float32)
-    pts = jnp.stack([x_s, y_s, z_s], axis=1)
     seg = jnp.minimum(c_s, cap - 1)
     cnt = jax.ops.segment_sum(w, seg, num_segments=cap)
     denom = jnp.maximum(cnt, 1.0)
-    cent = (
-        jax.ops.segment_sum(pts * w[:, None], seg, num_segments=cap)
-        / denom[:, None]
-    )
-    d = (pts - cent[seg]) * w[:, None]
-    outer = (d[:, :, None] * d[:, None, :]).reshape(-1, 9)
-    cov = jax.ops.segment_sum(outer, seg, num_segments=cap).reshape(
-        cap, 3, 3
-    ) / jnp.maximum(cnt - 1.0, 1.0)[:, None, None]
-    lams, _ = eigh3x3(cov)
-    lams = jnp.maximum(lams, 0.0)
-    length = lams[:, 0]
-    surface = jnp.sqrt(lams[:, 0] * lams[:, 1] + 1e-10)
-    volume = jnp.sqrt(lams[:, 0] * lams[:, 1] * lams[:, 2] + 1e-10)
+    # column-wise throughout: [n, 3]/[n, 9] intermediates are tiled to
+    # [n, 128] on TPU (42x payload); six 1-D covariance columns instead
+    cols = (x_s, y_s, z_s)
+    cents = [
+        jax.ops.segment_sum(c * w, seg, num_segments=cap) / denom
+        for c in cols
+    ]
+    dcols = [(c - cents[a][seg]) * w for a, c in enumerate(cols)]
+    ddof = jnp.maximum(cnt - 1.0, 1.0)
+
+    def cov_entry(a, b):
+        return jax.ops.segment_sum(
+            dcols[a] * dcols[b], seg, num_segments=cap
+        ) / ddof
+
+    c00, c11, c22 = cov_entry(0, 0), cov_entry(1, 1), cov_entry(2, 2)
+    c01, c02, c12 = cov_entry(0, 1), cov_entry(0, 2), cov_entry(1, 2)
+    lam0, lam1, lam2 = eigvals3x3_cols(c00, c11, c22, c01, c02, c12)
+    lam0 = jnp.maximum(lam0, 0.0)
+    lam1 = jnp.maximum(lam1, 0.0)
+    lam2 = jnp.maximum(lam2, 0.0)
+    length = lam0
+    surface = jnp.sqrt(lam0 * lam1 + 1e-10)
+    volume = jnp.sqrt(lam0 * lam1 * lam2 + 1e-10)
     one = cnt <= 1
     two = cnt == 2
-    var = jax.ops.segment_sum(d * d, seg, num_segments=cap) / denom[:, None]
-    length = jnp.where(two, jnp.sqrt(jnp.sum(var, axis=1)), length)
+    var_tr = sum(
+        jax.ops.segment_sum(dc * dc, seg, num_segments=cap) for dc in dcols
+    ) / denom
+    length = jnp.where(two, jnp.sqrt(var_tr), length)
     length = jnp.where(one, 0.0, length)
     surface = jnp.where(one | two, 0.0, surface)
     volume = jnp.where(one | two, 0.0, volume)
-    return cent, length, surface, volume
+    return tuple(cents), length, surface, volume
 
 
 @partial(jax.jit, static_argnames=("cap", "n_cols", "is_hist"))
@@ -209,17 +232,25 @@ def compute_sp_graph_device(
     )
     n_sedg = int(jax.device_get(n_sedg_d))
     cap_e = _pow2(n_sedg)
-    com_src, com_tgt, dmean, dstd, dnorm, cnt_e = _superedge_stats(
+    com_src, com_tgt, dmean_cols, dstd_cols, dnorm, cnt_e = _superedge_stats(
         xyz_d, su, sv, cu, cv, valid, head_pair, cap=cap_e
+    )
+    dmean = np.stack(
+        [np.asarray(c[:n_sedg], np.float32) for c in dmean_cols], axis=1
+    )
+    dstd = np.stack(
+        [np.asarray(c[:n_sedg], np.float32) for c in dstd_cols], axis=1
     )
 
     cap_c = _pow2(n_com)
-    cent_d, length_d, surface_d, volume_d = _component_stats_device(
+    cent_cols, length_d, surface_d, volume_d = _component_stats_device(
         xyz_d, in_comp_d, cap=cap_c
     )
 
     graph = {"is_nn": False}
-    cent = np.asarray(cent_d[:n_com], np.float32)
+    cent = np.stack(
+        [np.asarray(c[:n_com], np.float32) for c in cent_cols], axis=1
+    )
     length = np.asarray(length_d[:n_com], np.float64)
     surface = np.asarray(surface_d[:n_com], np.float64)
     volume = np.asarray(volume_d[:n_com], np.float64)
@@ -247,8 +278,8 @@ def compute_sp_graph_device(
     ct = np.asarray(com_tgt[:n_sedg], np.int64)
     graph["source"] = cs.astype(np.uint32)[:, None]
     graph["target"] = ct.astype(np.uint32)[:, None]
-    graph["se_delta_mean"] = np.asarray(dmean[:n_sedg], np.float32)
-    graph["se_delta_std"] = np.asarray(dstd[:n_sedg], np.float32)
+    graph["se_delta_mean"] = dmean
+    graph["se_delta_std"] = dstd
     graph["se_delta_norm"] = np.asarray(dnorm[:n_sedg], np.float32)[:, None]
     graph["se_delta_centroid"] = (cent[cs] - cent[ct]).astype(np.float32)
     eps = 1e-6

@@ -485,7 +485,11 @@ def _prep_band_chunk(
         .set(jnp.where(is_of, w, 0.0))[:of_cap]
     )
     nw = real.astype(jnp.float32)
-    return f_rows, band_w, of_src, of_tgt, of_w, nw, of_count
+    # (src0, tgt0, w0) is the chunk's DIRECTED edge list (w0 already 0 on
+    # dropped/padding edges) — returned for the device-side per-chunk merge
+    # (ops.merge_device); tgt0 may be out of window (clamped gathers are
+    # masked by w0 == 0)
+    return f_rows, band_w, of_src, of_tgt, of_w, nw, of_count, src0, tgt0, w0
 
 
 def cutpursuit_band_device(

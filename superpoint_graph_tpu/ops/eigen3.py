@@ -102,3 +102,41 @@ def _eigvec(cov: jax.Array, lam: jax.Array) -> jax.Array:
     )
     v = jnp.where(norm2 > _EPS, v * jax.lax.rsqrt(jnp.maximum(norm2, _EPS)), fallback)
     return v
+
+
+def eigvals3x3_cols(a00, a11, a22, a01, a02, a12):
+    """Eigenvalues (descending) of symmetric 3x3 matrices given as six 1-D
+    coefficient columns. Same analytic method as `eigh3x3`, but the batch
+    never materializes an [..., 3, 3] array — on TPU a [N, 3, 3] tensor is
+    tiled to [N, 8, 128] (128x the payload), which OOMed the device SPG
+    build at 2e6 points. Returns (lam0, lam1, lam2) column vectors."""
+    q = (a00 + a11 + a22) / 3.0
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    p2 = (a00 - q) ** 2 + (a11 - q) ** 2 + (a22 - q) ** 2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, _EPS))
+    b00 = (a00 - q) / p
+    b11 = (a11 - q) / p
+    b22 = (a22 - q) / p
+    b01 = a01 / p
+    b02 = a02 / p
+    b12 = a12 / p
+    detb = (
+        b00 * (b11 * b22 - b12 * b12)
+        - b01 * (b01 * b22 - b12 * b02)
+        + b02 * (b01 * b12 - b11 * b02)
+    )
+    r = jnp.clip(detb / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    two_pi_3 = 2.0 * jnp.pi / 3.0
+    lam0 = q + 2.0 * p * jnp.cos(phi)
+    lam2 = q + 2.0 * p * jnp.cos(phi + two_pi_3)
+    lam1 = 3.0 * q - lam0 - lam2
+    # near-diagonal fallback: sorted diagonal
+    is_diag = p2 <= _EPS * 10.0
+    dmax = jnp.maximum(jnp.maximum(a00, a11), a22)
+    dmin = jnp.minimum(jnp.minimum(a00, a11), a22)
+    dmid = a00 + a11 + a22 - dmax - dmin
+    lam0 = jnp.where(is_diag, dmax, lam0)
+    lam1 = jnp.where(is_diag, dmid, lam1)
+    lam2 = jnp.where(is_diag, dmin, lam2)
+    return lam0, lam1, lam2

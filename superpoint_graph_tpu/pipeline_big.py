@@ -28,12 +28,17 @@ import time
 import jax.numpy as jnp
 import numpy as np
 
-from .graph.spg import compute_sp_graph
+import jax
+from functools import partial
+
 from .ops.components import connected_components, group_components
-from .ops.cutpursuit import merge_regions
-from .ops.cutpursuit_band import cutpursuit_band, morton_order
+from .ops.cutpursuit import _densify_first_occurrence, merge_regions
+from .ops.cutpursuit_band import (
+    _prep_band_chunk, _solve_band, cutpursuit_band, morton_order,
+)
 from .ops.geof import compute_geof_rows
 from .ops.knn import knn_bigcloud
+from .ops.merge_device import merge_regions_device
 
 # above this the band solver's [NB, B, WIN] edge band plus its solve
 # transients (w_intra, same_band) crowd HBM next to the kNN tables
@@ -115,6 +120,129 @@ def chunked_cutpursuit(
     return components, in_comp.astype(np.int32)
 
 
+@partial(jax.jit, static_argnames=("k_adj",))
+def _knn_edges_device(idx_adj, d2_adj, dmean, lam, *, k_adj: int):
+    """Regenerate the directed kNN edge list + reference weights on device
+    (w = 1/(lam + d/mean d), partition.py:175) — feeds the global heal's
+    pair reduction without ever materializing edges on host."""
+    n = idx_adj.shape[0]
+    src = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k_adj)
+    tgt = idx_adj.reshape(-1).astype(jnp.int32)
+    d = jnp.sqrt(jnp.maximum(d2_adj.reshape(-1), 0.0))
+    w = 1.0 / (lam + d / jnp.maximum(dmean, 1e-12))
+    return src, tgt, w
+
+
+@jax.jit
+def _global_dmean(d2_adj):
+    return jnp.mean(jnp.sqrt(jnp.maximum(d2_adj, 0.0)))
+
+
+def chunked_cutpursuit_device(
+    f_dev,
+    idx_adj_dev,
+    d2_adj_dev,
+    xyz: np.ndarray,
+    reg_strength: float,
+    lambda_edge_weight: float = 1.0,
+    weight_decay: float = 0.7,
+    cutoff: int = 0,
+    chunk_points: int = 1 << 19,
+    src=None,
+    tgt=None,
+    **solver_kw,
+):
+    """Device-resident giant-cloud cut pursuit (successor of
+    `chunked_cutpursuit` for the TPU pipeline).
+
+    `f_dev` [n, d], `idx_adj_dev`/`d2_adj_dev` [n, k_adj] stay on device end
+    to end (the host-fed path re-uploaded ~150 MB of feature/edge arrays per
+    chunk over the tunnel and re-ran a host Morton sort per chunk). Per
+    Morton window: one `_prep_band_chunk` + `_solve_band` executable pair
+    reused across ALL chunks (window start / row count are traced scalars),
+    a device per-chunk merge (load-bearing: it shrinks raw split regions
+    before the global heal — skipping it ballooned the heal 5 s -> ~180 s at
+    2e6), then only the core labels cross the tunnel. The global heal's
+    edge-level reduction also runs on device (`ops.merge_device`).
+
+    `src`/`tgt` (host, optional) are only used for the final cutoff pass.
+    Returns (components, in_component)."""
+    n = int(f_dev.shape[0])
+    k_adj = int(idx_adj_dev.shape[1])
+    # the band layout needs whole blocks; round the window up to block size
+    from .ops.cutpursuit_band import B as _BLK
+
+    chunk_pad = -(-chunk_points // _BLK) * _BLK
+    halo = chunk_pad // 8
+    stride = chunk_pad - 2 * halo
+    n_chunks = -(-n // stride)
+
+    perm = morton_order(xyz)
+    perm_ext = np.zeros(n + chunk_pad, np.int32)
+    perm_ext[:n] = perm
+    inv_h = np.empty(n, np.int32)
+    inv_h[perm] = np.arange(n, dtype=np.int32)
+    perm_ext_dev = jnp.asarray(perm_ext)
+    inv_dev = jnp.asarray(inv_h)
+    dmean = _global_dmean(d2_adj_dev)
+    lam = jnp.float32(lambda_edge_weight)
+
+    e_chunk = 2 * chunk_pad * k_adj
+    of_cap = max(4096, 1 << int(np.ceil(np.log2(max(e_chunk // 4, 2)))))
+    in_comp = np.empty(n, np.int64)
+    base = 0
+    for c in range(n_chunks):
+        s, e = c * stride, min((c + 1) * stride, n)
+        x0, x1 = max(0, s - halo), min(n, e + halo)
+        f_rows, band_w, of_src, of_tgt, of_w, nw, of_count, esrc, etgt, ew = (
+            _prep_band_chunk(
+                f_dev, idx_adj_dev, d2_adj_dev, perm_ext_dev, inv_dev,
+                jnp.int32(x0), jnp.int32(x1 - x0), dmean, lam,
+                k_adj=k_adj, chunk_pad=chunk_pad, of_cap=of_cap,
+            )
+        )
+        of_n = int(jax.device_get(of_count))
+        if of_n > of_cap:
+            raise OverflowError(
+                f"chunk {c}: overflow edges {of_n} exceed cap {of_cap}"
+            )
+        cap2 = max(16384, 1 << int(np.ceil(np.log2(max(of_n, 2)))))
+        if cap2 < of_cap:
+            of_src, of_tgt, of_w = of_src[:cap2], of_tgt[:cap2], of_w[:cap2]
+        comp, _, _ = _solve_band(
+            f_rows, band_w, of_src, of_tgt, of_w, nw,
+            jnp.float32(reg_strength), jnp.float32(weight_decay), **solver_kw,
+        )
+        label = merge_regions_device(
+            f_rows, nw, comp, esrc, etgt, ew, chunk_pad,
+            float(reg_strength),
+        )
+        core = label[np.asarray(comp[s - x0 : s - x0 + (e - s)])]
+        _, core = np.unique(core, return_inverse=True)
+        in_comp[perm[s:e]] = base + core
+        base += int(core.max()) + 1 if len(core) else 0
+
+    # global boundary heal: device pair reduction over the full directed
+    # kNN edge list + host region-level merge rounds
+    gsrc, gtgt, gw = _knn_edges_device(
+        idx_adj_dev, d2_adj_dev, dmean, lam, k_adj=k_adj
+    )
+    label = merge_regions_device(
+        f_dev, jnp.ones(n, jnp.float32), jnp.asarray(in_comp, jnp.int32),
+        gsrc, gtgt, gw, base, float(reg_strength),
+    )
+    in_comp = _densify_first_occurrence(label[in_comp]).astype(np.int64)
+
+    if cutoff > 0:
+        if src is None:
+            src = np.repeat(np.arange(n, dtype=np.int64), k_adj)
+            tgt = np.asarray(idx_adj_dev).reshape(-1).astype(np.int64)
+        active = in_comp[src] == in_comp[tgt]
+        _, in_comp = connected_components(n, src, tgt, active, cutoff)
+    components = group_components(in_comp)
+    return components, in_comp.astype(np.int32)
+
+
 def partition_cloud_big(
     xyz: np.ndarray,
     rgb=None,
@@ -130,8 +258,8 @@ def partition_cloud_big(
     (same contract as pipeline.partition_cloud)."""
     from .ops import voxel
     from .pipeline import (
-        PartitionConfig, PartitionResult, assemble_partition_features,
-        edge_weights,
+        PartitionConfig, PartitionResult, _assemble_features_device,
+        _assemble_features_device_nocolor,
     )
 
     if cfg is None:
@@ -153,29 +281,43 @@ def partition_cloud_big(
     n = len(xyz)
 
     bi, bd2, info = knn_bigcloud(xyz, cfg.k_nn_geof)
-    # adjacency columns to host (the only big fetch: n * k_adj * 8 bytes)
-    idx_adj = np.asarray(bi[:, : cfg.k_nn_adj])
-    dist = np.sqrt(np.maximum(np.asarray(bd2[:, : cfg.k_nn_adj]), 0.0))
+    idx_adj_dev = bi[:, : cfg.k_nn_adj]
+    d2_adj_dev = bd2[:, : cfg.k_nn_adj]
 
     xyz_dev = jnp.asarray(xyz)
-    geof = np.empty((n, 4), np.float32)
-    for s in range(0, n, geof_chunk):
-        e = min(n, s + geof_chunk)
-        geof[s:e] = np.asarray(
-            compute_geof_rows(xyz_dev, xyz_dev[s:e], bi[s:e])
+    geof_parts = [
+        compute_geof_rows(xyz_dev, xyz_dev[s : min(n, s + geof_chunk)],
+                          bi[s : min(n, s + geof_chunk)])
+        for s in range(0, n, geof_chunk)
+    ]
+    geof_dev = geof_parts[0] if len(geof_parts) == 1 else jnp.concatenate(
+        geof_parts
+    )
+    del bi, bd2, geof_parts
+
+    use_color = cfg.dataset == "s3dis" and rgb is not None and len(rgb) > 0
+    if use_color:
+        f_dev = _assemble_features_device(
+            geof_dev, jnp.asarray(np.asarray(rgb, np.uint8))
         )
-    del bi, bd2
+    else:
+        f_dev = _assemble_features_device_nocolor(geof_dev)
+    # adjacency columns to host (graph_nn contract + SPG + cutoff pass);
+    # overlaps with the first chunk's band build
+    idx_adj = np.asarray(idx_adj_dev)
+    dist = np.sqrt(np.maximum(np.asarray(d2_adj_dev), 0.0))
+    geof = np.asarray(geof_dev)
     times["features"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     src = np.repeat(np.arange(n, dtype=np.int64), cfg.k_nn_adj)
     tgt = idx_adj.reshape(-1).astype(np.int64)
     distances = dist.reshape(-1).astype(np.float32)
-    w = edge_weights(distances, cfg.lambda_edge_weight)
-    features = assemble_partition_features(geof, rgb, cfg)
-    components, in_component = chunked_cutpursuit(
-        features, xyz, src, tgt, w, cfg.reg_strength,
+    components, in_component = chunked_cutpursuit_device(
+        f_dev, idx_adj_dev, d2_adj_dev, xyz, cfg.reg_strength,
+        lambda_edge_weight=cfg.lambda_edge_weight,
         cutoff=cfg.cp_cutoff, chunk_points=chunk_points,
+        src=src, tgt=tgt,
     )
     times["partition"] = time.perf_counter() - t0
 

@@ -219,3 +219,105 @@ class TestShardedKnnGeof:
             [xyz[c, 2].var() for c in comps if len(c) > 10]
         )
         assert intra < glob_var * 0.5
+
+
+class TestShardedChunkedCutPursuit:
+    """Slab-sharded Morton-chunked cut pursuit (partition_big_shard) — the
+    giant-cloud path where no device holds a full table."""
+
+    def _knn_host(self, xyz, k):
+        d2 = ((xyz[:, None, :] - xyz[None, :, :]) ** 2).sum(-1)
+        np.fill_diagonal(d2, np.inf)
+        idx = np.argsort(d2, axis=1)[:, :k]
+        d2k = np.take_along_axis(d2, idx, axis=1)
+        return idx.astype(np.int64), d2k.astype(np.float32)
+
+    def test_matches_single_chip_chunked(self, rng):
+        """Quality parity with the single-chip device-chunked solver: the
+        l0 objective must land within 10% (usually below — independent
+        chunks find finer optima)."""
+        import jax.numpy as jnp
+
+        from superpoint_graph_tpu.data.synthetic import synthetic_room
+        from superpoint_graph_tpu.parallel.mesh import make_mesh
+        from superpoint_graph_tpu.parallel.partition_big_shard import (
+            chunked_cutpursuit_sharded,
+        )
+        from superpoint_graph_tpu.pipeline_big import chunked_cutpursuit_device
+
+        xyz, rgb, _, _ = synthetic_room(rng, n_points=6000)
+        feats = np.concatenate(
+            [xyz, rgb.astype(np.float32) / 255.0], axis=1
+        ).astype(np.float32)
+        idx, d2 = self._knn_host(xyz, 5)
+        mesh = make_mesh(8)
+
+        comps_s, ic_s = chunked_cutpursuit_sharded(
+            feats, xyz, idx, d2, 0.1, mesh, chunk_points=1024
+        )
+        comps_d, ic_d = chunked_cutpursuit_device(
+            jnp.asarray(feats), jnp.asarray(idx.astype(np.int32)),
+            jnp.asarray(d2), xyz, 0.1, chunk_points=1024,
+        )
+
+        src = np.repeat(np.arange(len(xyz)), 5)
+        tgt = idx.reshape(-1)
+        d0 = np.sqrt(np.maximum(d2, 0.0)).reshape(-1)
+        w = 1.0 / (1.0 + d0 / d0.mean())
+
+        def energy(ic, reg=0.1):
+            ic = np.asarray(ic, np.int64)
+            nc = ic.max() + 1
+            S = np.zeros((nc, feats.shape[1]))
+            np.add.at(S, ic, feats.astype(np.float64))
+            m = np.bincount(ic, minlength=nc).astype(np.float64)
+            fid = (feats.astype(np.float64) ** 2).sum() - (
+                (S**2).sum(1)[m > 0] / m[m > 0]
+            ).sum()
+            return fid + reg * w[ic[src] != ic[tgt]].sum()
+
+        assert ic_s.shape == ic_d.shape
+        assert energy(ic_s) <= energy(ic_d) * 1.1, (
+            energy(ic_s), energy(ic_d), len(comps_s), len(comps_d),
+        )
+
+    def test_heal_merges_plane(self, rng):
+        from superpoint_graph_tpu.parallel.mesh import make_mesh
+        from superpoint_graph_tpu.parallel.partition_big_shard import (
+            chunked_cutpursuit_sharded,
+        )
+
+        n = 4000
+        xyz = np.zeros((n, 3), np.float32)
+        xyz[:, 0] = rng.rand(n) * 10
+        xyz[:, 1] = rng.rand(n) * 10
+        feats = np.full((n, 2), 0.5, np.float32)
+        idx, d2 = self._knn_host(xyz, 5)
+        mesh = make_mesh(8)
+        comps, ic = chunked_cutpursuit_sharded(
+            feats, xyz, idx, d2, 0.05, mesh, chunk_points=512
+        )
+        assert len(comps) <= 3, f"plane fragmented into {len(comps)} regions"
+
+    def test_partition_big_sharded_end_to_end(self, rng):
+        from superpoint_graph_tpu.data.synthetic import synthetic_room
+        from superpoint_graph_tpu.parallel.mesh import make_mesh
+        from superpoint_graph_tpu.parallel.partition_big_shard import (
+            partition_big_sharded,
+        )
+        from superpoint_graph_tpu.pipeline import PartitionConfig
+
+        xyz, rgb, _, _ = synthetic_room(rng, n_points=5000)
+        cfg = PartitionConfig(
+            voxel_width=0.0, k_nn_geof=12, k_nn_adj=5, reg_strength=0.1,
+            spg_adjacency="knn",
+        )
+        mesh = make_mesh(8)
+        graph_nn, geof, comps, in_comp = partition_big_sharded(
+            xyz, rgb, cfg, mesh, chunk_points=1024
+        )
+        assert in_comp.shape == (len(xyz),)
+        assert 5 < len(comps) < len(xyz) // 4
+        glob_var = np.var(xyz[:, 2])
+        intra = np.mean([xyz[c, 2].var() for c in comps if len(c) > 10])
+        assert intra < glob_var * 0.5

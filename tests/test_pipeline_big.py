@@ -118,3 +118,82 @@ class TestPartitionCloudBig:
         bi, _, _ = knn_bigcloud(np.asarray(xyz, np.float32), 12)
         ref = np.asarray(compute_geof(jnp.asarray(xyz), bi))
         np.testing.assert_allclose(res.geof, ref, rtol=1e-4, atol=1e-5)
+
+
+class TestChunkedCutPursuitDevice:
+    """Device-resident chunked solver (chunked_cutpursuit_device) — same
+    quality contract as the host-fed chunked path, nothing big on host."""
+
+    def _device_args(self, feats, xyz, k):
+        import jax.numpy as jnp
+
+        d2 = ((xyz[:, None, :] - xyz[None, :, :]) ** 2).sum(-1)
+        np.fill_diagonal(d2, np.inf)
+        idx = np.argsort(d2, axis=1)[:, :k]
+        d2k = np.take_along_axis(d2, idx, axis=1)
+        return (
+            jnp.asarray(feats), jnp.asarray(idx.astype(np.int32)),
+            jnp.asarray(d2k.astype(np.float32)),
+        )
+
+    def test_matches_host_chunked_on_room(self, rng):
+        from superpoint_graph_tpu.data.synthetic import synthetic_room
+        from superpoint_graph_tpu.pipeline_big import (
+            chunked_cutpursuit, chunked_cutpursuit_device,
+        )
+
+        xyz, rgb, labels, objects = synthetic_room(rng, n_points=6000)
+        src, tgt, w = _knn_edges(xyz, 5)
+        feats = np.concatenate(
+            [xyz, rgb.astype(np.float32) / 255.0], axis=1
+        ).astype(np.float32)
+
+        def energy(ic, reg=0.1):
+            ic = np.asarray(ic, np.int64)
+            nc = ic.max() + 1
+            S = np.zeros((nc, feats.shape[1]))
+            np.add.at(S, ic, feats.astype(np.float64))
+            m = np.bincount(ic, minlength=nc).astype(np.float64)
+            fid = (feats.astype(np.float64) ** 2).sum() - (
+                (S**2).sum(1)[m > 0] / m[m > 0]
+            ).sum()
+            return fid + reg * w[ic[src] != ic[tgt]].sum()
+
+        f_dev, idx_dev, d2_dev = self._device_args(feats, xyz, 5)
+        comps_h, ic_h = chunked_cutpursuit(
+            feats, xyz, src, tgt, w, 0.1, chunk_points=2000
+        )
+        comps_d, ic_d = chunked_cutpursuit_device(
+            f_dev, idx_dev, d2_dev, xyz, 0.1, chunk_points=2000
+        )
+        assert ic_d.shape == ic_h.shape
+        assert energy(ic_d) <= energy(ic_h) * 1.1, (
+            energy(ic_d), energy(ic_h), len(comps_d), len(comps_h),
+        )
+
+    def test_heal_merges_plane_across_chunks(self, rng):
+        from superpoint_graph_tpu.pipeline_big import chunked_cutpursuit_device
+
+        n = 4000
+        xyz = np.zeros((n, 3), np.float32)
+        xyz[:, 0] = rng.rand(n) * 10
+        xyz[:, 1] = rng.rand(n) * 10
+        feats = np.full((n, 2), 0.5, np.float32)
+        f_dev, idx_dev, d2_dev = self._device_args(feats, xyz, 5)
+        comps, ic = chunked_cutpursuit_device(
+            f_dev, idx_dev, d2_dev, xyz, 0.05, chunk_points=512
+        )
+        assert len(comps) <= 3, f"plane fragmented into {len(comps)} regions"
+
+    def test_cutoff_applies(self, rng):
+        from superpoint_graph_tpu.pipeline_big import chunked_cutpursuit_device
+
+        n = 1500
+        xyz = rng.rand(n, 3).astype(np.float32)
+        feats = rng.rand(n, 4).astype(np.float32)
+        f_dev, idx_dev, d2_dev = self._device_args(feats, xyz, 4)
+        comps, ic = chunked_cutpursuit_device(
+            f_dev, idx_dev, d2_dev, xyz, 0.5, cutoff=5, chunk_points=600
+        )
+        sizes = np.bincount(ic)
+        assert sizes[sizes > 0].min() >= 5 or len(comps) == 1

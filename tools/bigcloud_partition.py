@@ -43,13 +43,19 @@ def main():
             k_nn_adj=args.k_nn_adj, reg_strength=args.reg_strength,
             spg_adjacency="knn",
         )
+        cold = None
         if args.warm:
+            t0 = time.perf_counter()
             partition_cloud_big(xyz, rgb, cfg=cfg)  # warm (compiles)
+            cold = time.perf_counter() - t0
         t0 = time.perf_counter()
         res = partition_cloud_big(xyz, rgb, cfg=cfg)
         total = time.perf_counter() - t0
         row = {
             "n_points": int(len(xyz)),
+            # first-in-process run: pays every jit compile not served by the
+            # persistent cache (the cold-start number VERDICT r2 flagged)
+            "seconds_cold": round(cold, 2) if cold is not None else None,
             "seconds_total": round(total, 2),
             "mpts_per_sec": round(len(xyz) / total / 1e6, 4),
             "n_superpoints": len(res.components),

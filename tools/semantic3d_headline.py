@@ -1,0 +1,147 @@
+"""The Semantic3D headline chain: 1e8 RAW points -> chunked voxel prune ->
+single-chip giant-cloud partition.
+
+Mirrors the reference's flagship large-scale path (Semantic3D.md:11 "more
+than 10^8 points", partition/provider.py:250-303: `--ver_batch` chunked
+reads with per-chunk pruning, then graphs + cut pursuit on the pruned
+voxels). Here the raw station is synthesized chunk by chunk (no dataset in
+the image), pruned chunk by chunk exactly like `read_semantic3d_format`
+(data/provider.py:111-168), globally re-pruned for one consistent grid, and
+the pruned cloud runs the full TPU partition (knn_bigcloud -> chunked geof
+-> Morton-chunked device-resident band cut pursuit -> device SPG,
+pipeline_big.py). Writes tools/semantic3d_headline_results.json.
+
+Usage: python tools/semantic3d_headline.py [--raw_points 100000000]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bigcloud_knn import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
+SIDE = 220.0  # metres: large outdoor station footprint
+
+
+def station_chunk(rs: np.random.RandomState, n: int) -> np.ndarray:
+    """One chunk of a synthetic outdoor station: ground + building walls +
+    volumetric clutter (surface-dominated like real LiDAR, so voxel pruning
+    reduces ~10x at 0.1 m like Semantic3D stations do at 0.05)."""
+    n_ground = int(n * 0.55)
+    n_wall = int(n * 0.35)
+    n_scatter = n - n_ground - n_wall
+    g = np.empty((n_ground, 3), np.float32)
+    g[:, 0] = rs.rand(n_ground) * SIDE
+    g[:, 1] = rs.rand(n_ground) * SIDE
+    g[:, 2] = 0.05 * np.sin(g[:, 0] * 0.13) + 0.02 * rs.randn(n_ground)
+
+    # 40 axis-aligned buildings, deterministic layout (same every chunk)
+    brs = np.random.RandomState(12345)
+    bx = brs.rand(40) * (SIDE - 30) + 5
+    by = brs.rand(40) * (SIDE - 30) + 5
+    bw = brs.rand(40) * 18 + 6
+    bd = brs.rand(40) * 18 + 6
+    bh = brs.rand(40) * 12 + 4
+    bid = rs.randint(0, 40, n_wall)
+    side = rs.randint(0, 4, n_wall)
+    t = rs.rand(n_wall).astype(np.float32)
+    z = (rs.rand(n_wall) * bh[bid]).astype(np.float32)
+    wx = np.where(
+        side < 2, bx[bid] + t * bw[bid],
+        np.where(side == 2, bx[bid], bx[bid] + bw[bid]),
+    )
+    wy = np.where(
+        side < 2, np.where(side == 0, by[bid], by[bid] + bd[bid]),
+        by[bid] + t * bd[bid],
+    )
+    w = np.stack([wx, wy, z], axis=1).astype(np.float32)
+    w += 0.01 * rs.randn(n_wall, 3).astype(np.float32)
+
+    s = np.empty((n_scatter, 3), np.float32)
+    s[:, 0] = rs.rand(n_scatter) * SIDE
+    s[:, 1] = rs.rand(n_scatter) * SIDE
+    s[:, 2] = rs.rand(n_scatter) * 3.0
+    return np.concatenate([g, w, s])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--raw_points", type=int, default=100_000_000)
+    ap.add_argument("--ver_batch", type=int, default=5_000_000)
+    ap.add_argument("--voxel_width", type=float, default=0.1)
+    ap.add_argument("--k_nn_geof", type=int, default=45)
+    ap.add_argument("--k_nn_adj", type=int, default=10)
+    ap.add_argument("--reg_strength", type=float, default=0.8)
+    args = ap.parse_args()
+
+    from superpoint_graph_tpu.ops.voxel import prune
+    from superpoint_graph_tpu.pipeline import PartitionConfig
+    from superpoint_graph_tpu.pipeline_big import partition_cloud_big
+
+    rs = np.random.RandomState(0)
+    t0 = time.perf_counter()
+    xyz_parts, raw_total = [], 0
+    # chunked generate + per-chunk prune (read_semantic3d_format semantics:
+    # peak memory stays at the chunk size)
+    while raw_total < args.raw_points:
+        n_c = min(args.ver_batch, args.raw_points - raw_total)
+        xyz_c = station_chunk(rs, n_c)
+        raw_total += n_c
+        xyz_p, _, _, _ = prune(
+            xyz_c, args.voxel_width,
+            np.zeros((len(xyz_c), 3), np.uint8), None, None, 0, 0,
+        )
+        xyz_parts.append(xyz_p)
+    xyz = np.concatenate(xyz_parts)
+    n_after_chunks = len(xyz)
+    # one global prune for a consistent grid across chunk boundaries
+    xyz, rgb, _, _ = prune(
+        xyz, args.voxel_width, np.zeros((len(xyz), 3), np.uint8),
+        None, None, 0, 0,
+    )
+    t_prune = time.perf_counter() - t0
+    print(json.dumps({
+        "raw_points": raw_total, "after_chunk_prune": n_after_chunks,
+        "pruned_points": len(xyz), "prune_seconds": round(t_prune, 1),
+    }), flush=True)
+
+    cfg = PartitionConfig(
+        voxel_width=0.0, k_nn_geof=args.k_nn_geof, k_nn_adj=args.k_nn_adj,
+        reg_strength=args.reg_strength, spg_adjacency="knn",
+    )
+    t0 = time.perf_counter()
+    res = partition_cloud_big(xyz, rgb, cfg=cfg)
+    t_cold = time.perf_counter() - t0
+
+    row = {
+        "raw_points": int(raw_total),
+        "pruned_points": int(len(xyz)),
+        "voxel_width": args.voxel_width,
+        "prune_seconds": round(t_prune, 1),
+        "partition_seconds_cold": round(t_cold, 1),
+        "end_to_end_seconds_cold": round(t_prune + t_cold, 1),
+        "raw_mpts_per_sec": round(raw_total / (t_prune + t_cold) / 1e6, 3),
+        "n_superpoints": len(res.components),
+        "n_superedges": int(res.graph_sp["source"].shape[0]),
+        "times": {
+            k: (round(v, 2) if isinstance(v, float) else v)
+            for k, v in res.times.items()
+        },
+    }
+    print(json.dumps(row), flush=True)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "semantic3d_headline_results.json")
+    with open(out, "w") as f:
+        json.dump(row, f, indent=1)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
