@@ -18,6 +18,7 @@ def synthetic_room(
     n_points: int = 20000,
     size=(4.0, 3.0, 2.5),
     noise: float = 0.01,
+    clutter_blobs: bool = False,
 ):
     """Returns (xyz f32 [n,3], rgb u8 [n,3], labels i32 [n], objects i32 [n]).
 
@@ -70,9 +71,20 @@ def synthetic_room(
         obj_id += 1
         budget -= n
 
-    # clutter
-    p = rng.rand(budget, 3) * [sx, sy, sz * 0.5]
-    parts.append((p, np.full(budget, 4), np.full(budget, obj_id)))
+    # clutter: uniform volumetric fill by default (historic behavior — it
+    # interleaves with every surface, capping the per-voxel ASA oracle at
+    # ~55%); clutter_blobs=True clusters it into compact instances like real
+    # S3DIS clutter, for harnesses that measure partition quality (ASA/BR)
+    if clutter_blobs:
+        n_blobs = max(1, budget // 150)
+        centers = rng.rand(n_blobs, 3) * [sx, sy, sz * 0.5]
+        asg = rng.randint(0, n_blobs, budget)
+        p = centers[asg] + rng.randn(budget, 3) * 0.08
+        parts.append((p, np.full(budget, 4), obj_id + asg))
+        obj_id += n_blobs
+    else:
+        p = rng.rand(budget, 3) * [sx, sy, sz * 0.5]
+        parts.append((p, np.full(budget, 4), np.full(budget, obj_id)))
 
     xyz = np.concatenate([p for p, _, _ in parts]).astype(np.float32)
     labels = np.concatenate([l for _, l, _ in parts]).astype(np.int32)

@@ -158,9 +158,10 @@ def compute_sp_graph(
         dist = np.sqrt(((xyz[edges[0]] - xyz[edges[1]]) ** 2).sum(1))
         edges = edges[:, dist < d_max]
 
-    # group support edges into superedges by (source comp, target comp)
-    ecomp = in_component[edges]
-    key = n_com * ecomp[0] + ecomp[1]
+    # group support edges into superedges by (source comp, target comp);
+    # int64 keys — an int32 in_component wraps n_com * comp past ~46k comps
+    ecomp = in_component[edges].astype(np.int64)
+    key = np.int64(n_com) * ecomp[0] + ecomp[1]
     order = np.argsort(key, kind="stable")
     edges = edges[:, order]
     ecomp = ecomp[:, order]

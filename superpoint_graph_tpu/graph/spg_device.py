@@ -30,22 +30,15 @@ import numpy as np
 from ..ops.eigen3 import eigvals3x3_cols
 
 
-@partial(jax.jit, static_argnames=("k", "d_max"))
-def _sort_support_edges(idx_adj, in_comp, xyz, *, d_max: float, k: int):
-    """Both-direction cross-component kNN edges, deduped and grouped.
-
-    Returns (su, sv, cu, cv, valid, head_pair, n_sedg) sorted by
-    (source comp, target comp, u, v); `valid` marks deduplicated
-    cross-component support edges."""
+def _cross_mask(idx_adj, in_comp, xyz, *, d_max: float, k: int):
+    """Per-directed-edge (both directions) cross-component mask + (u, v)."""
     n = idx_adj.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
     src = jnp.repeat(iota, k)
     tgt = idx_adj.reshape(-1).astype(jnp.int32)
     u = jnp.concatenate([src, tgt])
     v = jnp.concatenate([tgt, src])
-    cu = in_comp[u]
-    cv = in_comp[v]
-    ok = cu != cv
+    ok = in_comp[u] != in_comp[v]
     if d_max > 0:
         # column-wise: an [E, 3] gather is tiled to [E, 128] on TPU (42x the
         # payload — OOMed at 2e6 points / 4e7 edges)
@@ -53,26 +46,49 @@ def _sort_support_edges(idx_adj, in_comp, xyz, *, d_max: float, k: int):
             (xyz[:, a][u] - xyz[:, a][v]) ** 2 for a in range(3)
         )
         ok &= d2 < jnp.float32(d_max) ** 2
+    return u, v, ok
 
-    # sort 1: lexicographic by (u, v); invalid rows pushed to the tail
-    u_k = jnp.where(ok, u, jnp.int32(n))
-    su, sv = jax.lax.sort((u_k, v), num_keys=2)
-    alive = su < n
-    first = jnp.concatenate(
-        [jnp.array([True]), (su[1:] != su[:-1]) | (sv[1:] != sv[:-1])]
-    )
-    dedup = alive & first
 
-    # sort 2: lexicographic by (source comp, target comp); duplicate and
-    # invalid rows pushed to the tail (the big sentinel key)
-    scu = in_comp[jnp.minimum(su, n - 1)]
-    scv = in_comp[jnp.minimum(sv, n - 1)]
+@partial(jax.jit, static_argnames=("k", "d_max"))
+def _count_cross_edges(idx_adj, in_comp, xyz, *, d_max: float, k: int):
+    _, _, ok = _cross_mask(idx_adj, in_comp, xyz, d_max=d_max, k=k)
+    return jnp.sum(ok.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("k", "d_max", "cap_x"))
+def _sort_support_edges(idx_adj, in_comp, xyz, *, d_max: float, k: int,
+                        cap_x: int):
+    """Both-direction cross-component kNN edges, deduped and grouped.
+
+    Cross-component support edges are typically a few % of the 2nk directed
+    edges, so they are cumsum-compacted into a `cap_x` buffer FIRST and a
+    single 4-key sort by (source comp, target comp, u, v) runs on the
+    compacted list — duplicates of (u, v) share their component pair, so
+    they are adjacent in that order and dedup needs no second sort. (Two
+    full-width 4e7-row sorts were ~all of the 9.3 s SPG stage at 2e6.)
+
+    Returns (su, sv, cu, cv, valid, head_pair, n_sedg), arrays of length
+    cap_x; `valid` marks deduplicated cross-component support edges."""
+    n = idx_adj.shape[0]
+    u, v, ok = _cross_mask(idx_adj, in_comp, xyz, d_max=d_max, k=k)
+
+    pos = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    tgt_pos = jnp.where(ok & (pos < cap_x), pos, cap_x)
+    sent = jnp.full(cap_x + 1, n, jnp.int32)
+    u_c = sent.at[tgt_pos].set(u)[:cap_x]
+    v_c = sent.at[tgt_pos].set(v)[:cap_x]
+
     big = jnp.int32(2**30)
-    key_cu = jnp.where(dedup, scu, big)
+    cu = jnp.where(u_c < n, in_comp[jnp.minimum(u_c, n - 1)], big)
+    cv = in_comp[jnp.minimum(v_c, n - 1)]
     cu_s, cv_s, su_s, sv_s = jax.lax.sort(
-        (key_cu, scv, su, sv), num_keys=2
+        (cu, cv, u_c, v_c), num_keys=4
     )
-    valid = cu_s < big
+    alive = cu_s < big
+    first = jnp.concatenate(
+        [jnp.array([True]), (su_s[1:] != su_s[:-1]) | (sv_s[1:] != sv_s[:-1])]
+    )
+    valid = alive & first
     head_pair = valid & jnp.concatenate(
         [jnp.array([True]),
          (cu_s[1:] != cu_s[:-1]) | (cv_s[1:] != cv_s[:-1])]
@@ -227,8 +243,12 @@ def compute_sp_graph_device(
     k = int(idx_adj.shape[1])
     in_comp_d = jnp.asarray(in_comp_h.astype(np.int32))
 
-    su, sv, cu, cv, valid, head_pair, n_sedg_d = _sort_support_edges(
+    n_cross = int(jax.device_get(_count_cross_edges(
         idx_adj, in_comp_d, xyz_d, d_max=float(d_max), k=k
+    )))
+    cap_x = _pow2(n_cross, floor=1024)
+    su, sv, cu, cv, valid, head_pair, n_sedg_d = _sort_support_edges(
+        idx_adj, in_comp_d, xyz_d, d_max=float(d_max), k=k, cap_x=cap_x
     )
     n_sedg = int(jax.device_get(n_sedg_d))
     cap_e = _pow2(n_sedg)

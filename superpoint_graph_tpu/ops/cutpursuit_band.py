@@ -59,6 +59,39 @@ def morton_order(xyz: np.ndarray, bits: int = 16) -> np.ndarray:
     return np.argsort(code, kind="stable")
 
 
+@partial(jax.jit, static_argnames=("bits",))
+def morton_perm_device(xyz, *, bits: int = 16):
+    """Morton permutation computed ON DEVICE (same quantization scheme as
+    `morton_order`; f32 arithmetic so ties can order differently — callers
+    only rely on spatial locality, not an exact host match).
+
+    The 48-bit code is built as two int32 halves (this jax build truncates
+    int64 silently) and sorted with a 2-key `lax.sort`. At 1e7 points the
+    host path costs ~35 s of uint64 bit-twiddling + argsort; this is one
+    device sort. Returns the int32 permutation (device array)."""
+    n = xyz.shape[0]
+    lo = jnp.min(xyz, axis=0)
+    span = jnp.maximum(jnp.max(jnp.max(xyz, axis=0) - lo), 1e-9)
+    scale = jnp.float32((1 << bits) - 1)
+    q = jnp.clip(
+        ((xyz - lo[None, :]) / span * scale), 0, scale
+    ).astype(jnp.int32)
+    half = bits // 2
+    code_lo = jnp.zeros(n, jnp.int32)
+    code_hi = jnp.zeros(n, jnp.int32)
+    for b in range(half):
+        for a in range(3):
+            bit = (q[:, a] >> b) & 1
+            code_lo = code_lo | (bit << (3 * b + a))
+    for b in range(half, bits):
+        for a in range(3):
+            bit = (q[:, a] >> b) & 1
+            code_hi = code_hi | (bit << (3 * (b - half) + a))
+    iota = jnp.arange(n, dtype=jnp.int32)
+    _, _, perm = jax.lax.sort((code_hi, code_lo, iota), num_keys=2)
+    return perm
+
+
 def split_band_edges(n_pad: int, src: np.ndarray, tgt: np.ndarray,
                      w: np.ndarray):
     """Split symmetrized directed edges into in-window and overflow.

@@ -54,15 +54,21 @@ def voxel_prune(
     """
     n = xyz.shape[0]
     mins = jnp.min(xyz, axis=0)
-    bins = jnp.floor((xyz - mins[None, :]) / voxel_size).astype(jnp.int64)
-    maxs = jnp.max(xyz, axis=0)
-    nb = jnp.ceil((maxs - mins) / voxel_size).astype(jnp.int64) + 2  # safe strides
-    key = (bins[:, 0] * nb[1] + bins[:, 1]) * nb[2] + bins[:, 2]
-
-    order = jnp.argsort(key, stable=True)
-    key_sorted = key[order]
+    # per-axis int32 bins + 3-key sort: a flattened key overflows int32 (this
+    # jax build has no x64 — jnp "int64" silently truncates) already at a
+    # 220 m scene with 0.1 m pitch (2200^3 keys), which collided voxels and
+    # silently over-merged the prune
+    bins = jnp.floor((xyz - mins[None, :]) / voxel_size).astype(jnp.int32)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    b0s, b1s, b2s, order = jax.lax.sort(
+        (bins[:, 0], bins[:, 1], bins[:, 2], iota), num_keys=3
+    )
     head = jnp.concatenate(
-        [jnp.ones((1,), jnp.int32), (key_sorted[1:] != key_sorted[:-1]).astype(jnp.int32)]
+        [
+            jnp.ones((1,), jnp.int32),
+            ((b0s[1:] != b0s[:-1]) | (b1s[1:] != b1s[:-1])
+             | (b2s[1:] != b2s[:-1])).astype(jnp.int32),
+        ]
     )
     seg_sorted = jnp.cumsum(head) - 1  # dense id in key order
     n_voxels = seg_sorted[-1] + 1
@@ -131,7 +137,11 @@ def prune(xyz, voxel_size, rgb, labels, objects, n_labels, n_objects):
     n_pad = 1 << max(int(np.ceil(np.log2(max(n, 1024)))), 10)
     pad = n_pad - n
     if pad:
-        xyz = np.concatenate([xyz, np.full((pad, 3), 1e8, np.float32)])
+        # pad just beyond the real max so the grid extent (and the f32->i32
+        # bin cast) stays small — a 1e8 sentinel blew the bin range past
+        # int32 and collided real voxels
+        far = float(xyz.max()) + 2.0 * float(voxel_size)
+        xyz = np.concatenate([xyz, np.full((pad, 3), far, np.float32)])
         rgb = np.concatenate([rgb, np.zeros((pad, 3), rgb.dtype)])
         labels = np.concatenate([labels, np.zeros(pad, np.int32)])
         objects = np.concatenate([objects, np.zeros(pad, np.int32)])

@@ -35,6 +35,7 @@ from .ops.components import connected_components, group_components
 from .ops.cutpursuit import _densify_first_occurrence, merge_regions
 from .ops.cutpursuit_band import (
     _prep_band_chunk, _solve_band, cutpursuit_band, morton_order,
+    morton_perm_device,
 )
 from .ops.geof import compute_geof_rows
 from .ops.knn import knn_bigcloud
@@ -150,6 +151,7 @@ def chunked_cutpursuit_device(
     chunk_points: int = 1 << 19,
     src=None,
     tgt=None,
+    xyz_dev=None,
     **solver_kw,
 ):
     """Device-resident giant-cloud cut pursuit (successor of
@@ -166,7 +168,9 @@ def chunked_cutpursuit_device(
     edge-level reduction also runs on device (`ops.merge_device`).
 
     `src`/`tgt` (host, optional) are only used for the final cutoff pass.
-    Returns (components, in_component)."""
+    When `xyz_dev` is given the Morton permutation is computed on device
+    (morton_perm_device — one lax.sort instead of ~35 s of host uint64
+    bit-twiddling at 1e7). Returns (components, in_component)."""
     n = int(f_dev.shape[0])
     k_adj = int(idx_adj_dev.shape[1])
     # the band layout needs whole blocks; round the window up to block size
@@ -177,7 +181,10 @@ def chunked_cutpursuit_device(
     stride = chunk_pad - 2 * halo
     n_chunks = -(-n // stride)
 
-    perm = morton_order(xyz)
+    if xyz_dev is not None:
+        perm = np.asarray(morton_perm_device(xyz_dev[:n]))
+    else:
+        perm = morton_order(xyz)
     perm_ext = np.zeros(n + chunk_pad, np.int32)
     perm_ext[:n] = perm
     inv_h = np.empty(n, np.int32)
@@ -317,7 +324,7 @@ def partition_cloud_big(
         f_dev, idx_adj_dev, d2_adj_dev, xyz, cfg.reg_strength,
         lambda_edge_weight=cfg.lambda_edge_weight,
         cutoff=cfg.cp_cutoff, chunk_points=chunk_points,
-        src=src, tgt=tgt,
+        src=src, tgt=tgt, xyz_dev=xyz_dev,
     )
     times["partition"] = time.perf_counter() - t0
 

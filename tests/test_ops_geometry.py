@@ -158,3 +158,29 @@ class TestVoxelPrune:
         px, pr, ph, po = voxel.prune(xyz, 0.1, rgb, None, None, 0, 0)
         assert px.shape == (1, 3)
         np.testing.assert_allclose(px[0], 0.0, atol=1e-6)
+
+    def test_fine_pitch_no_collisions(self, rng):
+        """Regression: with a non-power-of-two cloud (padding in play) and a
+        fine pitch, the flat int32 voxel key used to collide and silently
+        over-merge (6000 pts -> 763 voxels instead of ~5994)."""
+        n = 6000
+        xyz = (rng.rand(n, 3) * [4, 3, 2.5]).astype(np.float32)
+        bins = np.floor((xyz - xyz.min(0)) / 0.02).astype(np.int64)
+        expected = len(np.unique(bins, axis=0))
+        px, _, _, _ = voxel.prune(
+            xyz, 0.02, np.zeros((n, 3), np.uint8), None, None, 0, 0
+        )
+        assert len(px) == expected
+
+    def test_large_extent_scene(self, rng):
+        """Regression: a 220 m scene at 0.1 m pitch has ~2200^3 grid cells —
+        far past int32 for any flattened key (this build truncates jnp int64
+        to int32 silently)."""
+        n = 20000
+        xyz = (rng.rand(n, 3) * [220, 220, 30]).astype(np.float32)
+        bins = np.floor((xyz - xyz.min(0)) / 0.1).astype(np.int64)
+        expected = len(np.unique(bins, axis=0))
+        px, _, _, _ = voxel.prune(
+            xyz, 0.1, np.zeros((n, 3), np.uint8), None, None, 0, 0
+        )
+        assert len(px) == expected

@@ -120,6 +120,34 @@ class TestPartitionCloudBig:
         np.testing.assert_allclose(res.geof, ref, rtol=1e-4, atol=1e-5)
 
 
+class TestMortonPermDevice:
+    def test_valid_permutation_and_locality(self, rng):
+        import jax.numpy as jnp
+
+        from superpoint_graph_tpu.ops.cutpursuit_band import (
+            morton_order, morton_perm_device,
+        )
+
+        xyz = (rng.rand(4096, 3) * [4, 3, 2.5]).astype(np.float32)
+        perm_d = np.asarray(morton_perm_device(jnp.asarray(xyz)))
+        assert sorted(perm_d.tolist()) == list(range(4096))
+
+        # same locality as the host Morton order: measure the fraction of
+        # 8-NN edges that land within a +-512 index band
+        def band_frac(perm):
+            inv = np.empty(len(perm), np.int64)
+            inv[perm] = np.arange(len(perm))
+            d2 = ((xyz[:, None, :] - xyz[None, :, :]) ** 2).sum(-1)
+            np.fill_diagonal(d2, np.inf)
+            idx = np.argsort(d2, axis=1)[:, :8]
+            src = inv[np.repeat(np.arange(len(perm)), 8)]
+            tgt = inv[idx.reshape(-1)]
+            return np.mean(np.abs(src - tgt) <= 512)
+
+        fd, fh = band_frac(perm_d), band_frac(morton_order(xyz))
+        assert fd > 0.85 * fh, (fd, fh)
+
+
 class TestChunkedCutPursuitDevice:
     """Device-resident chunked solver (chunked_cutpursuit_device) — same
     quality contract as the host-fed chunked path, nothing big on host."""
