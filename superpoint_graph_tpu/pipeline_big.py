@@ -41,6 +41,10 @@ from .ops.geof import compute_geof_rows
 from .ops.knn import knn_bigcloud
 from .ops.merge_device import merge_regions_device
 
+# stage split of the last chunked_cutpursuit_device call (observability for
+# the giant-cloud tools; same pattern as cutpursuit_band.LAST_SOLVE_STATS)
+LAST_CP_STATS: dict = {}
+
 # above this the band solver's [NB, B, WIN] edge band plus its solve
 # transients (w_intra, same_band) crowd HBM next to the kNN tables
 # (n_pad 2^20 -> band 5.4 GB bf16 + w_intra 5.4 + same_band 2.7): chunk
@@ -198,7 +202,9 @@ def chunked_cutpursuit_device(
     of_cap = max(4096, 1 << int(np.ceil(np.log2(max(e_chunk // 4, 2)))))
     in_comp = np.empty(n, np.int64)
     base = 0
+    t_solve = t_merge = 0.0
     for c in range(n_chunks):
+        t0 = time.perf_counter()
         s, e = c * stride, min((c + 1) * stride, n)
         x0, x1 = max(0, s - halo), min(n, e + halo)
         f_rows, band_w, of_src, of_tgt, of_w, nw, of_count, esrc, etgt, ew = (
@@ -220,17 +226,22 @@ def chunked_cutpursuit_device(
             f_rows, band_w, of_src, of_tgt, of_w, nw,
             jnp.float32(reg_strength), jnp.float32(weight_decay), **solver_kw,
         )
+        comp_core = np.asarray(comp[s - x0 : s - x0 + (e - s)])
+        t1 = time.perf_counter()
+        t_solve += t1 - t0
         label = merge_regions_device(
             f_rows, nw, comp, esrc, etgt, ew, chunk_pad,
             float(reg_strength),
         )
-        core = label[np.asarray(comp[s - x0 : s - x0 + (e - s)])]
+        core = label[comp_core]
         _, core = np.unique(core, return_inverse=True)
         in_comp[perm[s:e]] = base + core
         base += int(core.max()) + 1 if len(core) else 0
+        t_merge += time.perf_counter() - t1
 
     # global boundary heal: device pair reduction over the full directed
     # kNN edge list + host region-level merge rounds
+    t0 = time.perf_counter()
     gsrc, gtgt, gw = _knn_edges_device(
         idx_adj_dev, d2_adj_dev, dmean, lam, k_adj=k_adj
     )
@@ -239,7 +250,9 @@ def chunked_cutpursuit_device(
         gsrc, gtgt, gw, base, float(reg_strength),
     )
     in_comp = _densify_first_occurrence(label[in_comp]).astype(np.int64)
+    t_heal = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
     if cutoff > 0:
         if src is None:
             src = np.repeat(np.arange(n, dtype=np.int64), k_adj)
@@ -247,6 +260,11 @@ def chunked_cutpursuit_device(
         active = in_comp[src] == in_comp[tgt]
         _, in_comp = connected_components(n, src, tgt, active, cutoff)
     components = group_components(in_comp)
+    LAST_CP_STATS.update(
+        n=n, n_chunks=n_chunks, solve=round(t_solve, 2),
+        chunk_merge=round(t_merge, 2), heal=round(t_heal, 2),
+        group=round(time.perf_counter() - t0, 2),
+    )
     return components, in_comp.astype(np.int32)
 
 
@@ -327,13 +345,17 @@ def partition_cloud_big(
         src=src, tgt=tgt, xyz_dev=xyz_dev,
     )
     times["partition"] = time.perf_counter() - t0
+    times["cp_info"] = dict(LAST_CP_STATS)
 
     t0 = time.perf_counter()
     from .graph.spg_device import compute_sp_graph_device
 
+    # device-resident inputs: xyz/idx_adj already live on chip (re-uploading
+    # the host copies cost ~100 MB over the tunnel at 2e6)
     graph_sp = compute_sp_graph_device(
-        xyz, cfg.d_se_max, in_component, components, labels, n_labels,
-        idx_adj=idx_adj,
+        xyz_dev, cfg.d_se_max, in_component, components, labels, n_labels,
+        idx_adj=idx_adj_dev.astype(jnp.int32)
+        if idx_adj_dev.dtype != jnp.int32 else idx_adj_dev,
     )
     times["spg"] = time.perf_counter() - t0
     times["knn_info"] = info.get("stage_seconds")
