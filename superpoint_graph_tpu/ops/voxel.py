@@ -116,6 +116,67 @@ def voxel_prune(
     }
 
 
+# above this row count the device prune's sort transients crowd HBM (a ~5e7
+# global re-prune OOMed a 16 GB chip) — and the padded upload over the
+# tunneled TPU costs more than a host radix sort anyway
+PRUNE_DEVICE_MAX = 20_000_000
+
+
+def prune_host(xyz, voxel_size, rgb, labels, objects, n_labels, n_objects):
+    """Host numpy prune with the same contract/semantics as `prune`
+    (first-occurrence voxel order, mean xyz, truncated mean rgb, label and
+    object histograms; reference libply_c.prune, ply_c.cpp:288-380).
+
+    numpy int64 keys never overflow (the device path needs per-axis int32
+    keys, CLAUDE.md); one flat-key argsort + sorted reduceat. Used for
+    giant concatenated clouds (the 1e8-raw Semantic3D chain's global
+    re-prune) where the device path cannot stage the sort."""
+    xyz = np.ascontiguousarray(xyz, np.float64)
+    n = len(xyz)
+    mins = xyz.min(0)
+    bins = np.floor((xyz - mins) / float(voxel_size)).astype(np.int64)
+    dims = bins.max(0) + 1
+    key = (bins[:, 0] * dims[1] + bins[:, 1]) * dims[2] + bins[:, 2]
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    head = np.empty(n, bool)
+    head[0] = True
+    np.not_equal(key_s[1:], key_s[:-1], out=head[1:])
+    starts = np.flatnonzero(head)
+    m = len(starts)
+    counts = np.diff(np.append(starts, n))
+    # first-occurrence order: stable sort => the first row of each segment
+    # holds that voxel's smallest original index
+    first_idx = order[starts]
+    rank = np.argsort(np.argsort(first_idx, kind="stable"), kind="stable")
+
+    def seg_mean(a):
+        s = np.add.reduceat(a[order], starts, axis=0)
+        return s / counts[:, None]
+
+    out_xyz = np.empty((m, 3), np.float32)
+    out_xyz[rank] = seg_mean(xyz).astype(np.float32)
+    if rgb is None or np.size(rgb) == 0:
+        rgb = np.zeros((n, 3), np.float64)
+    rgb = np.asarray(rgb, np.float64)
+    out_rgb = np.empty((m, 3), np.uint8)
+    out_rgb[rank] = seg_mean(rgb).astype(np.uint8)  # trunc like C++ cast
+
+    seg_of_point = np.empty(n, np.int64)
+    seg_of_point[order] = rank[np.cumsum(head) - 1]
+    if n_labels > 0 and labels is not None and np.size(labels):
+        hist = np.zeros((m, n_labels + 1), np.uint32)
+        np.add.at(hist, (seg_of_point, np.asarray(labels, np.int64)), 1)
+    else:
+        hist = np.zeros((m, 1), np.uint32)
+    if n_objects > 0 and objects is not None and np.size(objects):
+        ohist = np.zeros((m, n_objects + 1), np.uint32)
+        np.add.at(ohist, (seg_of_point, np.asarray(objects, np.int64)), 1)
+    else:
+        ohist = np.zeros((m, 1), np.uint32)
+    return out_xyz, out_rgb, hist, ohist
+
+
 def prune(xyz, voxel_size, rgb, labels, objects, n_labels, n_objects):
     """Host-convenience wrapper with the reference `libply_c.prune` signature
     (ply_c.cpp:497-505): returns trimmed numpy (xyz f32, rgb u8, label_hist u32,
@@ -127,6 +188,10 @@ def prune(xyz, voxel_size, rgb, labels, objects, n_labels, n_objects):
     that is sliced away."""
     xyz = np.ascontiguousarray(xyz, dtype=np.float32)
     n = xyz.shape[0]
+    if n > PRUNE_DEVICE_MAX:
+        return prune_host(
+            xyz, voxel_size, rgb, labels, objects, n_labels, n_objects
+        )
     if labels is None or np.size(labels) == 0:
         labels = np.zeros((n,), np.int32)
     if objects is None or np.size(objects) == 0:

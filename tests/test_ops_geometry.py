@@ -172,6 +172,26 @@ class TestVoxelPrune:
         )
         assert len(px) == expected
 
+    def test_host_prune_matches_device(self, rng):
+        """prune_host (the giant-cloud dispatch target) must agree with the
+        device path bit-for-bit on order, counts, and histograms."""
+        n, n_labels, n_obj = 5000, 5, 7
+        xyz = (rng.rand(n, 3) * [6, 5, 3]).astype(np.float32)
+        rgb = (rng.rand(n, 3) * 255).astype(np.uint8)
+        labels = rng.randint(0, n_labels + 1, n).astype(np.int32)
+        objects = rng.randint(0, n_obj + 1, n).astype(np.int32)
+        dx, dr, dh, do = voxel.prune(
+            xyz, 0.05, rgb, labels, objects, n_labels, n_obj
+        )
+        hx, hr, hh, ho = voxel.prune_host(
+            xyz, 0.05, rgb, labels, objects, n_labels, n_obj
+        )
+        assert hx.shape == dx.shape
+        np.testing.assert_allclose(hx, dx, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(hh, dh)
+        np.testing.assert_array_equal(ho, do)
+        assert np.abs(hr.astype(int) - dr.astype(int)).max() <= 1
+
     def test_large_extent_scene(self, rng):
         """Regression: a 220 m scene at 0.1 m pitch has ~2200^3 grid cells —
         far past int32 for any flattened key (this build truncates jnp int64

@@ -64,10 +64,19 @@ def station_chunk(rs: np.random.RandomState, n: int) -> np.ndarray:
     w = np.stack([wx, wy, z], axis=1).astype(np.float32)
     w += 0.01 * rs.randn(n_wall, 3).astype(np.float32)
 
-    s = np.empty((n_scatter, 3), np.float32)
-    s[:, 0] = rs.rand(n_scatter) * SIDE
-    s[:, 1] = rs.rand(n_scatter) * SIDE
-    s[:, 2] = rs.rand(n_scatter) * 3.0
+    # clutter as compact blobs (cars, bushes, poles — real LiDAR returns are
+    # surface-dominated; a uniform volumetric fill would alone occupy ~1e7
+    # voxels at 0.1 m and misrepresent the workload): deterministic centers
+    # shared by every chunk, like the buildings
+    crs = np.random.RandomState(777)
+    n_blobs = 3000
+    cx = crs.rand(n_blobs, 3).astype(np.float32) * [SIDE, SIDE, 0.0]
+    cr = (crs.rand(n_blobs) * 0.8 + 0.2).astype(np.float32)
+    bidx = rs.randint(0, n_blobs, n_scatter)
+    s = cx[bidx] + rs.randn(n_scatter, 3).astype(np.float32) * (
+        cr[bidx][:, None] * 0.35
+    )
+    s[:, 2] = np.abs(s[:, 2])
     return np.concatenate([g, w, s])
 
 
@@ -81,7 +90,10 @@ def main():
     ap.add_argument("--reg_strength", type=float, default=0.8)
     args = ap.parse_args()
 
-    from superpoint_graph_tpu.ops.voxel import prune
+    # host prune for the raw chunks: at 5e6 rows/chunk the padded upload
+    # over the tunneled TPU costs more than the host radix sort; the global
+    # re-prune (~5e7 concatenated rows) OOMs the device path outright
+    from superpoint_graph_tpu.ops.voxel import prune_host as prune
     from superpoint_graph_tpu.pipeline import PartitionConfig
     from superpoint_graph_tpu.pipeline_big import partition_cloud_big
 
