@@ -243,6 +243,29 @@ def compute_sp_graph_device(
     k = int(idx_adj.shape[1])
     in_comp_d = jnp.asarray(in_comp_h.astype(np.int32))
 
+    # bucket n (2^20 granularity above 1M, pow2 below) so every kernel here
+    # is keyed on the bucket, not the exact cloud size — each new giant
+    # cloud size otherwise pays a full recompile of the 4e7-row kernels
+    # (~200 s cold at 1e7). Pad rows: self-edges (same fake component
+    # n_com, dropped by the cross-component test), far coords, and the fake
+    # component id — sliced away by every [:n_com]/[:n_sedg] fetch.
+    gran = 1 << 20
+    n_pad = (
+        -(-n // gran) * gran if n > gran else _pow2(n, floor=1024)
+    )
+    if n_pad > n:
+        pad = n_pad - n
+        pad_iota = jnp.arange(n, n + pad, dtype=jnp.int32)
+        xyz_d = jnp.concatenate(
+            [xyz_d, jnp.full((pad, 3), 1e17, jnp.float32)]
+        )
+        idx_adj = jnp.concatenate(
+            [idx_adj, jnp.broadcast_to(pad_iota[:, None], (pad, k))]
+        )
+        in_comp_d = jnp.concatenate(
+            [in_comp_d, jnp.full(pad, n_com, jnp.int32)]
+        )
+
     n_cross = int(jax.device_get(_count_cross_edges(
         idx_adj, in_comp_d, xyz_d, d_max=float(d_max), k=k
     )))
@@ -262,7 +285,9 @@ def compute_sp_graph_device(
         [np.asarray(c[:n_sedg], np.float32) for c in dstd_cols], axis=1
     )
 
-    cap_c = _pow2(n_com)
+    # +1: the padding rows use fake component id n_com, which must stay in
+    # range (a clamp would fold the far-away pad centroid into comp cap-1)
+    cap_c = _pow2(n_com + 1)
     cent_cols, length_d, surface_d, volume_d = _component_stats_device(
         xyz_d, in_comp_d, cap=cap_c
     )
@@ -286,8 +311,14 @@ def compute_sp_graph_device(
         labels_np = np.asarray(labels)
         is_hist = labels_np.ndim > 1 and labels_np.shape[1] > 1
         n_cols = labels_np.shape[1] if is_hist else n_labels + 1
+        lab_pad = labels_np.reshape(n, -1)
+        if n_pad > n:  # pad rows count into the fake comp row, sliced away
+            lab_pad = np.concatenate(
+                [lab_pad, np.zeros((n_pad - n, lab_pad.shape[1]),
+                                   lab_pad.dtype)]
+            )
         hist = _label_hist_device(
-            in_comp_d, jnp.asarray(labels_np.reshape(n, -1)),
+            in_comp_d, jnp.asarray(lab_pad),
             cap=cap_c, n_cols=int(n_cols), is_hist=bool(is_hist),
         )
         graph["sp_labels"] = np.asarray(hist[:n_com], np.uint32)
