@@ -189,6 +189,15 @@ def prune(xyz, voxel_size, rgb, labels, objects, n_labels, n_objects):
     xyz = np.ascontiguousarray(xyz, dtype=np.float32)
     n = xyz.shape[0]
     if n > PRUNE_DEVICE_MAX:
+        # beyond the device path: the C++ hash-grid prune (native, OpenMP-free
+        # single pass) is ~11x the numpy argsort path at 5e6 rows (2.4 s vs
+        # 27 s measured) — the 1e8-raw headline chain's prune budget
+        from .. import native
+
+        if native.available():
+            return native.prune(
+                xyz, voxel_size, rgb, labels, objects, n_labels, n_objects
+            )
         return prune_host(
             xyz, voxel_size, rgb, labels, objects, n_labels, n_objects
         )

@@ -91,26 +91,37 @@ def main():
     args = ap.parse_args()
 
     # host prune for the raw chunks: at 5e6 rows/chunk the padded upload
-    # over the tunneled TPU costs more than the host radix sort; the global
-    # re-prune (~5e7 concatenated rows) OOMs the device path outright
-    from superpoint_graph_tpu.ops.voxel import prune_host as prune
+    # over the tunneled TPU costs more than a host pass; the global re-prune
+    # (~5e7 concatenated rows) OOMs the device path outright. The C++
+    # hash-grid prune (native) is ~11x the numpy argsort path (2.4 s vs
+    # 27 s at 5e6 measured) — fall back to numpy only if the lib is absent.
+    from superpoint_graph_tpu import native
+    from superpoint_graph_tpu.ops.voxel import prune_host
     from superpoint_graph_tpu.pipeline import PartitionConfig
     from superpoint_graph_tpu.pipeline_big import partition_cloud_big
 
+    prune = native.prune if native.available() else prune_host
+
     rs = np.random.RandomState(0)
-    t0 = time.perf_counter()
     xyz_parts, raw_total = [], 0
+    t_gen = t_prune = 0.0
     # chunked generate + per-chunk prune (read_semantic3d_format semantics:
-    # peak memory stays at the chunk size)
+    # peak memory stays at the chunk size). Generation stands in for the
+    # reference's pandas chunk read and is timed separately.
     while raw_total < args.raw_points:
         n_c = min(args.ver_batch, args.raw_points - raw_total)
+        t0 = time.perf_counter()
         xyz_c = station_chunk(rs, n_c)
+        t_gen += time.perf_counter() - t0
         raw_total += n_c
+        t0 = time.perf_counter()
         xyz_p, _, _, _ = prune(
             xyz_c, args.voxel_width,
             np.zeros((len(xyz_c), 3), np.uint8), None, None, 0, 0,
         )
+        t_prune += time.perf_counter() - t0
         xyz_parts.append(xyz_p)
+    t0 = time.perf_counter()
     xyz = np.concatenate(xyz_parts)
     n_after_chunks = len(xyz)
     # one global prune for a consistent grid across chunk boundaries
@@ -118,10 +129,11 @@ def main():
         xyz, args.voxel_width, np.zeros((len(xyz), 3), np.uint8),
         None, None, 0, 0,
     )
-    t_prune = time.perf_counter() - t0
+    t_prune += time.perf_counter() - t0
     print(json.dumps({
         "raw_points": raw_total, "after_chunk_prune": n_after_chunks,
-        "pruned_points": len(xyz), "prune_seconds": round(t_prune, 1),
+        "pruned_points": len(xyz), "gen_seconds": round(t_gen, 1),
+        "prune_seconds": round(t_prune, 1),
     }), flush=True)
 
     cfg = PartitionConfig(
@@ -136,6 +148,7 @@ def main():
         "raw_points": int(raw_total),
         "pruned_points": int(len(xyz)),
         "voxel_width": args.voxel_width,
+        "gen_seconds": round(t_gen, 1),
         "prune_seconds": round(t_prune, 1),
         "partition_seconds_cold": round(t_cold, 1),
         "end_to_end_seconds_cold": round(t_prune + t_cold, 1),
