@@ -550,4 +550,30 @@ int64_t spgt_cutpursuit(const float* f, int64_t n, int32_t d, int64_t n_edg,
   return n_comp;
 }
 
+// ---------------------------------------------------------------------------
+// greedy_matching: conflict resolution of the cut-pursuit backward merge
+// ---------------------------------------------------------------------------
+// Candidates (a[i], b[i]) arrive in ascending energy-delta order; accept a
+// candidate iff neither endpoint was touched by an earlier ACCEPTED one
+// (the python reference loop in ops/cutpursuit.merge_rounds — a ~1e6-iter
+// interpreter loop that dominated the giant-cloud heal). Returns the number
+// accepted; `accept` is a [p] 0/1 mask.
+uint64_t spgt_greedy_matching(const int64_t* a, const int64_t* b, uint64_t p,
+                              uint64_t n_comp, uint8_t* accept) {
+  std::vector<uint8_t> used(n_comp, 0);
+  uint64_t cnt = 0;
+  for (uint64_t i = 0; i < p; ++i) {
+    const int64_t ai = a[i], bi = b[i];
+    if (used[ai] || used[bi]) {
+      accept[i] = 0;
+      continue;
+    }
+    used[ai] = 1;
+    used[bi] = 1;
+    accept[i] = 1;
+    ++cnt;
+  }
+  return cnt;
+}
+
 }  // extern "C"

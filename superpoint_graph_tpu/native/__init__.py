@@ -69,6 +69,10 @@ def _lib():
         P(f32), i64, i32, i64, P(ctypes.c_uint32), P(ctypes.c_uint32),
         P(f32), P(f32), f32, i32, i32, i32, P(i32),
     ]
+    lib.spgt_greedy_matching.restype = u64
+    lib.spgt_greedy_matching.argtypes = [
+        P(i64), P(i64), u64, u64, P(ctypes.c_uint8),
+    ]
     _LIB = lib
     return lib
 
@@ -186,3 +190,18 @@ def cutpursuit(features, source, target, edge_weight, reg_strength,
     from ..ops.components import group_components
 
     return group_components(out, n_comp), out
+
+
+def greedy_matching(a, b, n_comp):
+    """Accept mask for ordered merge candidates: candidate i is accepted iff
+    neither region a[i] nor b[i] was touched by an earlier accepted one
+    (the merge_rounds conflict rule, ops/cutpursuit.py)."""
+    lib = _lib()
+    a = np.ascontiguousarray(a, np.int64)
+    b = np.ascontiguousarray(b, np.int64)
+    accept = np.zeros(len(a), np.uint8)
+    lib.spgt_greedy_matching(
+        _ptr(a, ctypes.c_int64), _ptr(b, ctypes.c_int64), len(a),
+        int(n_comp), _ptr(accept, ctypes.c_uint8),
+    )
+    return accept.astype(bool)

@@ -184,37 +184,74 @@ def merge_rounds(
             break
         loA = np.minimum(A[live], B[live])
         hiB = np.maximum(A[live], B[live])
-        key, inv = np.unique(loA * n_comp + hiB, return_inverse=True)
-        w_pair = np.zeros(len(key))
-        np.add.at(w_pair, inv, pair_w[live])
+        # pair dedup: one stable argsort + run-boundary reduceat (np.unique
+        # with return_inverse is two sorts, and np.add.at runs ~25M/s —
+        # together ~1 s/round at 2e6 pairs)
+        k2 = loA * n_comp + hiB
+        korder = np.argsort(k2, kind="stable")
+        ks = k2[korder]
+        heads = np.empty(len(ks), bool)
+        heads[0] = True
+        np.not_equal(ks[1:], ks[:-1], out=heads[1:])
+        starts = np.flatnonzero(heads)
+        key = ks[starts]
+        w_pair = np.add.reduceat(pair_w[live][korder], starts)
         A = (key // n_comp).astype(np.int64)
         B = (key % n_comp).astype(np.int64)
-        sa = np.einsum("pd,pd->p", S[A], S[A]) / m[A]
-        sb = np.einsum("pd,pd->p", S[B], S[B]) / m[B]
-        sab = np.einsum("pd,pd->p", S[A] + S[B], S[A] + S[B]) / (m[A] + m[B])
-        delta = (sa + sb - sab) - reg * w_pair
+        # energy delta of merging (A,B): |S_A|^2/m_A + |S_B|^2/m_B -
+        # |S_A+S_B|^2/(m_A+m_B) - reg*w. The per-region quadratic q=|S|^2/m
+        # is computed once over regions; only the cross term needs pair
+        # gathers (S[A] was gathered ~8x here before).
+        q = np.einsum("cd,cd->c", S, S) / m
+        mA = m[A]
+        mB = m[B]
+        cross = np.einsum("pd,pd->p", S[A], S[B])
+        qa = q[A]
+        qb = q[B]
+        sab = (qa * mA + qb * mB + 2.0 * cross) / (mA + mB)
+        delta = (qa + qb - sab) - reg * w_pair
         good = delta < -1e-12
         if not good.any():
             break
         order = np.argsort(delta[good])
         Ag, Bg = A[good][order], B[good][order]
-        used = np.zeros(n_comp, bool)
-        changed = False
-        for a, b in zip(Ag, Bg):
-            # merge only untouched regions this round — the closed-form gains
-            # of chained merges are stale; later rounds pick them up
-            if used[a] or used[b]:
-                continue
-            keep, gone = min(a, b), max(a, b)
-            label[gone] = keep  # a, b are roots this round -> depth <= 2
-            S[keep] += S[gone]
-            m[keep] += m[gone]
-            used[a] = used[b] = True
-            changed = True
-        if not changed:
+        # merge only untouched regions this round — the closed-form gains
+        # of chained merges are stale; later rounds pick them up. The
+        # sequential conflict scan runs in C++ (native.greedy_matching);
+        # accepted pairs have pairwise-disjoint endpoints, so the stat
+        # updates below are plain fancy-index writes.
+        acc = _greedy_matching(Ag, Bg, n_comp)
+        if not acc.any():
             break
+        keep = np.minimum(Ag[acc], Bg[acc])
+        gone = np.maximum(Ag[acc], Bg[acc])
+        label[gone] = keep  # both are roots this round -> depth <= 2
+        S[keep] += S[gone]
+        m[keep] += m[gone]
 
     return _compress(label)
+
+
+def _greedy_matching(a: np.ndarray, b: np.ndarray, n_comp: int) -> np.ndarray:
+    """Accept mask over ordered merge candidates: candidate i is accepted
+    iff neither endpoint was touched by an earlier accepted one. C++ when
+    the native lib is present (a ~1e6-candidate python loop dominated the
+    giant-cloud heal), interpreter fallback otherwise."""
+    try:
+        from .. import native
+
+        if native.available():
+            return native.greedy_matching(a, b, n_comp)
+    except Exception:
+        pass
+    used = np.zeros(n_comp, bool)
+    acc = np.zeros(len(a), bool)
+    for i, (x, y) in enumerate(zip(a, b)):
+        if used[x] or used[y]:
+            continue
+        used[x] = used[y] = True
+        acc[i] = True
+    return acc
 
 
 def _densify_first_occurrence(labels: np.ndarray) -> np.ndarray:

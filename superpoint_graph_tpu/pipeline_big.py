@@ -277,10 +277,16 @@ def partition_cloud_big(
     cfg=None,
     chunk_points: int = 1 << 19,
     geof_chunk: int = 1 << 21,
+    host_outputs: bool = True,
 ):
     """Full partition (prune -> kNN -> geof -> CP -> SPG) of one giant cloud
     on a single chip, all stages memory-bounded. Returns a PartitionResult
-    (same contract as pipeline.partition_cloud)."""
+    (same contract as pipeline.partition_cloud).
+
+    host_outputs=False skips fetching the [n, k] adjacency/distance tables
+    and geof to host (~1 GB over the tunnel at 1e7 — only needed when the
+    caller writes the features h5 / visualizes); the result then carries
+    geof=None and a graph_nn without distances."""
     from .ops import voxel
     from .pipeline import (
         PartitionConfig, PartitionResult, _assemble_features_device,
@@ -311,11 +317,12 @@ def partition_cloud_big(
     # start the host copies NOW so the ~0.9 GB adjacency transfer (tunnel!)
     # overlaps the geof dispatches below instead of serializing after them
     # (it was ~1/3 of the 204 s features stage at 1e7)
-    for _arr in (idx_adj_dev, d2_adj_dev):
-        try:
-            _arr.copy_to_host_async()
-        except Exception:
-            pass
+    if host_outputs:
+        for _arr in (idx_adj_dev, d2_adj_dev):
+            try:
+                _arr.copy_to_host_async()
+            except Exception:
+                pass
 
     xyz_dev = jnp.asarray(xyz)
     geof_parts = [
@@ -335,21 +342,27 @@ def partition_cloud_big(
         )
     else:
         f_dev = _assemble_features_device_nocolor(geof_dev)
-    try:
-        geof_dev.copy_to_host_async()
-    except Exception:
-        pass
-    # adjacency columns to host (graph_nn contract + cutoff pass); the
-    # async copies above overlap these waits with the geof dispatches
-    idx_adj = np.asarray(idx_adj_dev)
-    dist = np.sqrt(np.maximum(np.asarray(d2_adj_dev), 0.0))
-    geof = np.asarray(geof_dev)
+    if host_outputs:
+        try:
+            geof_dev.copy_to_host_async()
+        except Exception:
+            pass
+        # adjacency columns to host (graph_nn contract + cutoff pass); the
+        # async copies above overlap these waits with the geof dispatches
+        idx_adj = np.asarray(idx_adj_dev)
+        dist = np.sqrt(np.maximum(np.asarray(d2_adj_dev), 0.0))
+        geof = np.asarray(geof_dev)
+    else:
+        geof = None
     times["features"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    src = np.repeat(np.arange(n, dtype=np.int64), cfg.k_nn_adj)
-    tgt = idx_adj.reshape(-1).astype(np.int64)
-    distances = dist.reshape(-1).astype(np.float32)
+    if host_outputs:
+        src = np.repeat(np.arange(n, dtype=np.int64), cfg.k_nn_adj)
+        tgt = idx_adj.reshape(-1).astype(np.int64)
+        distances = dist.reshape(-1).astype(np.float32)
+    else:
+        src = tgt = None
     components, in_component = chunked_cutpursuit_device(
         f_dev, idx_adj_dev, d2_adj_dev, xyz, cfg.reg_strength,
         lambda_edge_weight=cfg.lambda_edge_weight,
@@ -372,12 +385,15 @@ def partition_cloud_big(
     times["spg"] = time.perf_counter() - t0
     times["knn_info"] = info.get("stage_seconds")
 
-    graph_nn = {
-        "is_nn": True,
-        "source": src.astype(np.uint32),
-        "target": tgt.astype(np.uint32),
-        "distances": distances,
-    }
+    if host_outputs:
+        graph_nn = {
+            "is_nn": True,
+            "source": src.astype(np.uint32),
+            "target": tgt.astype(np.uint32),
+            "distances": distances,
+        }
+    else:
+        graph_nn = {"is_nn": True}
     return PartitionResult(
         xyz=xyz,
         rgb=np.asarray(rgb) if rgb is not None

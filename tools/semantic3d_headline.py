@@ -141,7 +141,9 @@ def main():
         reg_strength=args.reg_strength, spg_adjacency="knn",
     )
     t0 = time.perf_counter()
-    res = partition_cloud_big(xyz, rgb, cfg=cfg)
+    # host_outputs=False: the benchmark never writes the features h5, so
+    # skip the ~1 GB adjacency/geof fetch over the tunnel
+    res = partition_cloud_big(xyz, rgb, cfg=cfg, host_outputs=False)
     t_cold = time.perf_counter() - t0
 
     row = {
