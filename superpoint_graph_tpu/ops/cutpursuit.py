@@ -255,6 +255,25 @@ def _greedy_matching(a: np.ndarray, b: np.ndarray, n_comp: int) -> np.ndarray:
 
 
 def _densify_first_occurrence(labels: np.ndarray) -> np.ndarray:
+    labels = np.asarray(labels)
+    n = labels.size
+    if n == 0:
+        return labels.astype(np.int32)
+    bound = int(labels.max()) + 1
+    if bound <= 4 * n + 1024:
+        # dense label space (every call site passes region ids bounded by
+        # n_comp): two O(n) scatter/gather passes + a sort over the distinct
+        # ids only. np.unique's full-array double sort was 14 s at 1e7.
+        # Reversed fancy assignment: the LAST write per duplicate index
+        # sticks, so writing positions in descending order leaves each
+        # label's FIRST occurrence.
+        first = np.full(bound, -1, np.int64)
+        first[labels[::-1]] = np.arange(n - 1, -1, -1)
+        vals = np.flatnonzero(first >= 0)
+        order = np.argsort(first[vals], kind="stable")
+        newlab = np.empty(bound, np.int32)
+        newlab[vals[order]] = np.arange(len(vals), dtype=np.int32)
+        return newlab[labels]
     _, first_pos, inv = np.unique(labels, return_index=True, return_inverse=True)
     order = np.argsort(np.argsort(first_pos))
     return order[inv].astype(np.int32)
