@@ -185,6 +185,7 @@ def chunked_cutpursuit_device(
     stride = chunk_pad - 2 * halo
     n_chunks = -(-n // stride)
 
+    t_morton0 = time.perf_counter()
     if xyz_dev is not None:
         perm = np.asarray(morton_perm_device(xyz_dev[:n]))
     else:
@@ -197,6 +198,8 @@ def chunked_cutpursuit_device(
     inv_dev = jnp.asarray(inv_h)
     dmean = _global_dmean(d2_adj_dev)
     lam = jnp.float32(lambda_edge_weight)
+
+    t_morton = time.perf_counter() - t_morton0
 
     e_chunk = 2 * chunk_pad * k_adj
     of_cap = max(4096, 1 << int(np.ceil(np.log2(max(e_chunk // 4, 2)))))
@@ -261,7 +264,8 @@ def chunked_cutpursuit_device(
         _, in_comp = connected_components(n, src, tgt, active, cutoff)
     components = group_components(in_comp)
     LAST_CP_STATS.update(
-        n=n, n_chunks=n_chunks, solve=round(t_solve, 2),
+        n=n, n_chunks=n_chunks, morton=round(t_morton, 2),
+        solve=round(t_solve, 2),
         chunk_merge=round(t_merge, 2), heal=round(t_heal, 2),
         group=round(time.perf_counter() - t0, 2),
     )
