@@ -55,11 +55,14 @@ def main():
     ])
     scores = json.load(open(os.path.join(odir, "scores_test.json")))
     log = json.load(open(os.path.join(odir, "trainlog.json")))
+    import jax
+
     out = {
         "final_test_oacc": scores["oacc"],
         "final_test_miou": scores["avg_iou"],
         "first_epoch_train_acc": log[0]["acc"],
         "last_epoch_train_acc": log[-1]["acc"],
+        "backend": jax.devices()[0].platform,
         "root": root,
     }
     print(json.dumps(out, indent=2))
