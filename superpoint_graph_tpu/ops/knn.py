@@ -273,6 +273,105 @@ def _gather_queries(xs, cs, qpos2d):
     return xs[qpos2d], cs[qpos2d]
 
 
+@jax.jit
+def _level_sort(xyz_dev, mins, inv_h, dy_dim):
+    """Device 2-key cell sort for one ladder level.
+
+    Per-axis int32 cell coords; x and y fuse into ONE int32 key (caller
+    guards Dx*Dy against overflow), z is the second sort key — never an
+    int64 flat key (no x64 on this build). Pad rows (xyz ~1e17) clip to a
+    huge coord, get the sentinel key, and stable-sort to the tail in
+    original order — exactly the host path's `order_full` layout.
+    Returns (kxy_s, cz_s, order)."""
+    c = jnp.clip(
+        jnp.floor((xyz_dev - mins[None, :]) * inv_h), -(2.0**30), 2.0**30
+    ).astype(jnp.int32)
+    big = jnp.int32(2**31 - 2**22)
+    kxy = jnp.where(
+        c[:, 0] >= jnp.int32(1 << 30), big, c[:, 0] * dy_dim + c[:, 1]
+    )
+    iota = jnp.arange(xyz_dev.shape[0], dtype=jnp.int32)
+    kxy_s, cz_s, order = jax.lax.sort(
+        (kxy, c[:, 2], iota), num_keys=2, is_stable=True
+    )
+    return kxy_s, cz_s, order
+
+
+@partial(jax.jit, static_argnames=("p_cap",))
+def _pending_positions(order, pending_ids, *, p_cap: int):
+    """Sorted-array positions of the pending query ids, ascending: mark the
+    ids, gather the mark through `order`, cumsum-compact into a [p_cap]
+    buffer. (The host equivalents — an inverse permutation or a boolean
+    flatnonzero over a fetched order — cost an O(n) fetch per level.)"""
+    n_db = order.shape[0]
+    mark = jnp.zeros(n_db, bool).at[pending_ids].set(True)
+    mark_s = mark[order]
+    pos = jnp.cumsum(mark_s.astype(jnp.int32)) - 1
+    tgt = jnp.where(mark_s & (pos < p_cap), pos, p_cap)
+    buf = jnp.full(p_cap + 1, n_db - 1, jnp.int32)
+    return buf.at[tgt].set(jnp.arange(n_db, dtype=jnp.int32))[:p_cap]
+
+
+def _lex_lower(kxy_s, cz_s, K, Z):
+    """First index i with (kxy_s[i], cz_s[i]) >= (K, Z) lexicographically —
+    a statically-unrolled binary search (while_loop carry overhead is ~20 ms
+    per iteration on this target, CLAUDE.md)."""
+    n_db = kxy_s.shape[0]
+    iters = max(1, int(np.ceil(np.log2(max(n_db, 2)))) + 1)
+    lo = jnp.zeros(K.shape, jnp.int32)
+    hi = jnp.full(K.shape, n_db, jnp.int32)
+    for _ in range(iters):
+        mid = (lo + hi) // 2
+        midc = jnp.minimum(mid, n_db - 1)
+        km = kxy_s[midc]
+        zm = cz_s[midc]
+        less = (km < K) | ((km == K) & (zm < Z))
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+    return lo
+
+
+@jax.jit
+def _level_windows(kxy_s, cz_s, pos_first, pos_last, offs):
+    """Per-(query block, cell offset) candidate windows, on device.
+
+    Reproduces the host flat-key probes exactly: window = sorted rows in
+    [(kxy_first+off, cz_first-1), (kxy_last+off, cz_last+1)] lexicographic
+    (the flat int64 `first + off - 1 .. last + off + 1` searchsorted pair).
+    Returns (starts [m, 9] i32, spans [m, 9] i32)."""
+    big = jnp.int32(2**31 - 2**23)
+    kf = jnp.minimum(kxy_s[pos_first], big)
+    kl = jnp.minimum(kxy_s[pos_last], big)
+    zf = cz_s[pos_first]
+    zl = cz_s[pos_last]
+    Kf = kf[:, None] + offs[None, :]
+    Kl = kl[:, None] + offs[None, :]
+    starts = _lex_lower(kxy_s, cz_s, Kf, zf[:, None] - 1)
+    ends = _lex_lower(kxy_s, cz_s, Kl, zl[:, None] + 2)
+    return starts.astype(jnp.int32), jnp.maximum(ends - starts, 0).astype(
+        jnp.int32
+    )
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _scatter_results_pos(out_i, out_d, order, qpos_rows, pos_b, d2_b, n_limit):
+    """Scatter one launch's results into the big tables by ORIGINAL ids,
+    resolved on device: rows = order[query positions] (pad positions hold
+    pad rows -> clamp to the spare row n), ids = order[candidate positions].
+    Replaces a host qs bookkeeping array plus an eager order gather."""
+    rows = jnp.minimum(order[qpos_rows.reshape(-1)], n_limit)
+    ids = order[pos_b.reshape(rows.shape[0], -1)]
+    return (
+        out_i.at[rows].set(ids),
+        out_d.at[rows].set(d2_b.reshape(rows.shape[0], -1)),
+    )
+
+
+@jax.jit
+def _gather_order(order, pos):
+    return order[pos]
+
+
 @partial(
     jax.jit,
     static_argnames=("k", "window", "recall_target"),
@@ -497,8 +596,10 @@ def knn_bigcloud(
     the dense bulk), each later level re-solves only the points whose
     exactness certificate (found d_k <= h) failed, with geometrically larger
     cells; the (tiny) remainder falls back to blocked brute force. Memory is
-    O(n); compute is O(n * mean candidate volume) MXU/VPU work plus one host
-    argsort per level.
+    O(n); compute is O(n * mean candidate volume) MXU/VPU work. The level
+    sorts, candidate windows (lexicographic binary search over the 2-key
+    cell order), and result scatters all run on device; per level the host
+    only builds block lists and fetches O(P/block) window spans.
 
     Returns (indices [n, k] int32 in ORIGINAL order, exact sq-distances,
     info) — index/distance tables are device-resident.
@@ -519,6 +620,7 @@ def knn_bigcloud(
     t_stage["radius_sample"] = time.perf_counter() - t0
 
     mins = xyz.min(0)
+    maxs = xyz.max(0)
     # one padded upload: rows n.. are far-away staggered pad points used to
     # fill candidate windows that run past the end of the sorted array.
     # Bucketed to 2^20 granularity above 1M rows: the level-search
@@ -556,68 +658,68 @@ def knn_bigcloud(
             bq_lvl, cap_lvl = block_q, window_cap
         else:
             bq_lvl, cap_lvl = 8, 4 * window_cap
-        # f32 multiply, int32 per-axis coords: a python-float divide here
-        # upcast the whole [n, 3] to float64 (11 s of the 35 s
-        # sort_and_windows at 1e7 on the 1-core host); truncation == floor
-        # since the shifted coords are nonnegative. Only the flat key needs
-        # int64 (dims^3 can pass 2^31).
-        coords = ((xyz - mins) * np.float32(1.0 / h)).astype(np.int32)
-        dims = (coords.max(0) + 1).astype(np.int64)
-        key = (
-            coords[:, 0].astype(np.int64) * dims[1] + coords[:, 1]
-        ) * dims[2] + coords[:, 2]
-        order = np.argsort(key, kind="stable").astype(np.int32)
-        key_s = key[order]
-        order_full = np.concatenate(
-            [order, np.arange(n, n_db, dtype=np.int32)]
+        # device 2-key cell sort (per-axis int32, xy fused to one int32 key,
+        # z second key). The host path — f64-upcast coords, int64 flat keys,
+        # a 1e7 argsort and a ~48 MB order upload per level — was ~12 s per
+        # level at 1e7 on the 1-core host.
+        Dy = int(np.floor((maxs[1] - mins[1]) / h)) + 3
+        Dx = int(np.floor((maxs[0] - mins[0]) / h)) + 3
+        assert (Dx + 2) * Dy < 2**31 - 2**23, (
+            f"cell grid too fine for the fused int32 xy key (Dx={Dx}, "
+            f"Dy={Dy}); raise level_quantiles / voxel-prune first"
         )
-
-        # pending queries in key order, WITH their sorted-array positions:
-        # one boolean gather over `order` replaces a second argsort of
-        # key[pending] (17 s at 1e7) plus the full inverse-permutation
-        # scatter (6 s) — order is stable, so flatnonzero(mark[order])
-        # enumerates pending by (key, original index), the same ordering
-        if len(pending) == n:
+        kxy_s, cz_s, order_dev = _level_sort(
+            xyz_dev, mins_dev, jnp.float32(1.0 / h), jnp.int32(Dy)
+        )
+        P = len(pending)
+        if P == n:
             qpos = np.arange(n, dtype=np.int32)
-            qs = order.astype(np.int64)
-            qkey = key_s
         else:
-            mark = np.zeros(n, bool)
-            mark[pending] = True
-            qpos = np.flatnonzero(mark[order]).astype(np.int32)
-            qs = order[qpos].astype(np.int64)
-            qkey = key_s[qpos]
-        P = len(qs)
+            # sorted positions of the pending ids, computed on device (the
+            # padded id list marks the last pad row; stable sort puts it at
+            # position n_db-1, past the [:P] slice)
+            p_cap = max(1024, 1 << int(np.ceil(np.log2(P + 2))))
+            pend_pad = np.full(p_cap, n_db - 1, np.int32)
+            pend_pad[:P] = pending.astype(np.int32)
+            qpos = np.asarray(
+                _pending_positions(
+                    order_dev, jnp.asarray(pend_pad), p_cap=p_cap
+                )
+            )[:P]
         m = -(-P // bq_lvl)
-        first = qkey[np.minimum(np.arange(m) * bq_lvl, P - 1)]
-        last = qkey[np.minimum((np.arange(m) + 1) * bq_lvl - 1, P - 1)]
+        # pad the block list to a power of two so the window-search
+        # executable is shape-bucketed; pad blocks point at the last pad row
+        # (sentinel key -> empty spans, zeroed below)
+        m_pad = 1 << int(np.ceil(np.log2(max(m, 4))))
+        pos_first = np.full(m_pad, n_db - 1, np.int32)
+        pos_last = np.full(m_pad, n_db - 1, np.int32)
+        pos_first[:m] = qpos[np.minimum(np.arange(m) * bq_lvl, P - 1)]
+        pos_last[:m] = qpos[
+            np.minimum((np.arange(m) + 1) * bq_lvl - 1, P - 1)
+        ]
         offs = np.array(
-            [(dx * dims[1] + dy) * dims[2] for dx, dy in _CELL_OFFSETS],
-            np.int64,
+            [dx * Dy + dy for dx, dy in _CELL_OFFSETS], np.int32
         )
-        starts = np.empty((m, 9), np.int32)
-        spans = np.empty((m, 9), np.int64)
-        for p in range(9):
-            s = np.searchsorted(key_s, first + offs[p] - 1, side="left")
-            e = np.searchsorted(key_s, last + offs[p] + 1, side="right")
-            starts[:, p] = s
-            spans[:, p] = e - s
+        starts_d, spans_d = _level_windows(
+            kxy_s, cz_s, jnp.asarray(pos_first), jnp.asarray(pos_last),
+            jnp.asarray(offs),
+        )
+        starts = np.asarray(starts_d)
+        spans = np.asarray(spans_d).astype(np.int64)
+        spans[m:] = 0
         need = spans.max(axis=1)
         truncated = need > cap_lvl
         t_stage["sort_and_windows"] += time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        order_dev = jnp.asarray(order_full)
         xs, cs = _sort_gather(
             xyz_dev, order_dev, mins_dev, jnp.float32(1.0 / h)
         )
         # pad the query list to full blocks with the last far pad row
-        P_pad = m * bq_lvl
+        P_pad = m_pad * bq_lvl
         qpos_p = np.full(P_pad, n_db - 1, np.int32)
         qpos_p[:P] = qpos
-        qpos2d = qpos_p.reshape(m, bq_lvl)
-        qs_p = np.full(P_pad, n, np.int64)  # spare out-row for pad queries
-        qs_p[:P] = qs
+        qpos2d = qpos_p.reshape(m_pad, bq_lvl)
 
         bad = np.zeros(P_pad, bool)
         bad[:P] |= truncated[np.arange(P) // bq_lvl]
@@ -658,13 +760,13 @@ def knn_bigcloud(
                     xs, cs, q_xyz, q_coord, qpos_b, st_b,
                     k=k, window=size, recall_target=recall_target,
                 )
-                ids_b = order_dev[pos_b]                 # -> original ids
-                # rows of `out` to write: original query ids (pad -> spare
-                # row n; duplicate dummy blocks rewrite rows identically)
-                rows = qs_p.reshape(m, bq_lvl)[blk_p].reshape(-1)
-                rows_dev = jnp.asarray(rows.astype(np.int32))
-                out_i = _scatter_rows(out_i, rows_dev, ids_b.reshape(-1, k))
-                out_d = _scatter_rows(out_d, rows_dev, d2_b.reshape(-1, k))
+                # out rows + candidate ids resolved on device from `order`
+                # (pad query positions hold pad rows -> clamp to spare row
+                # n; duplicate dummy blocks rewrite rows identically)
+                out_i, out_d = _scatter_results_pos(
+                    out_i, out_d, order_dev, qpos_b, pos_b, d2_b,
+                    jnp.int32(n),
+                )
                 # certificate: found d_k <= h => provably complete
                 bad_b = np.asarray(
                     d2_b[:, :, k - 1] > jnp.float32(h * h)
@@ -680,7 +782,18 @@ def knn_bigcloud(
             {"h": round(h, 5), "queries": int(P),
              "bad": int(bad[:P].sum())}
         )
-        pending = qs_p[:P][bad[:P]]
+        # original ids of the still-bad queries: device gather over `order`
+        # at their sorted positions (only the bad subset crosses the tunnel)
+        bad_idx = np.flatnonzero(bad[:P])
+        if len(bad_idx):
+            bp = 1 << int(np.ceil(np.log2(max(len(bad_idx), 2))))
+            pos_arr = np.full(bp, n_db - 1, np.int32)
+            pos_arr[: len(bad_idx)] = qpos_p[bad_idx]
+            pending = np.asarray(
+                _gather_order(order_dev, jnp.asarray(pos_arr))
+            )[: len(bad_idx)].astype(np.int64)
+        else:
+            pending = np.zeros(0, np.int64)
         t_stage["device_search"] += time.perf_counter() - t0
 
     # exact blocked brute force for the stragglers (isolated points whose
