@@ -536,10 +536,15 @@ def _remap_sorted_to_original(best_i_s, best_d2_s, order, inv, *, k):
 
 
 def _sample_knn_radius(
-    xyz: np.ndarray, k: int, sample: int = 1024, quantile: float = 0.99
+    xyz: np.ndarray, k: int, sample: int = 1024, quantile: float = 0.99,
+    db_dev=None,
 ) -> tuple[float, np.ndarray]:
     """Exact k-th-neighbor distance for a random sample of points (blocked
-    brute force on device); returns (quantile radius, per-sample r_k)."""
+    brute force on device); returns (quantile radius, per-sample r_k).
+
+    `db_dev`: an already-resident far-padded [n_db, 3] db (n_db % 65536
+    == 0) to search against — skips rebuilding + re-uploading the padded
+    cloud (~40 MB over the tunnel at 1e7)."""
     n = len(xyz)
     rs = np.random.RandomState(0)
     sel = rs.choice(n, size=min(sample, n), replace=False)
@@ -549,6 +554,19 @@ def _sample_knn_radius(
     if mq > len(q):
         q = np.concatenate([q, np.full((mq - len(q), 3), 2e17, np.float32)])
     bdb = 65536
+    if db_dev is not None:
+        assert db_dev.shape[0] % bdb == 0
+        idx, d2 = knn_vs_db(
+            jnp.asarray(q), db_dev, k + 1,
+            block_q=bq, block_db=bdb, recall_target=0.95,
+        )
+        idx = np.asarray(idx[: len(sel)])
+        d2 = np.asarray(d2[: len(sel)])
+        is_self = idx == sel[:, None]
+        order = np.argsort(np.where(is_self, -1.0, d2), axis=1)
+        d2_sorted = np.take_along_axis(d2, order, axis=1)
+        r_k = np.sqrt(np.maximum(d2_sorted[:, k], 0.0))
+        return float(np.quantile(r_k, quantile)), r_k
     # bucket the db rows to 2^20 granularity: differently-sized clouds then
     # share the executable (and the persistent-cache key), and recall 0.95
     # compiles ~10x faster than 0.99 (approx_min_k's aggregation top-k width
@@ -610,15 +628,6 @@ def knn_bigcloud(
     t_stage = {"sort_and_windows": 0.0, "device_search": 0.0}
     t0 = time.perf_counter()
 
-    _, rk = _sample_knn_radius(xyz, k)
-    ladder = [
-        max(float(np.quantile(rk, q)) * m, 1e-6) for q, m in level_quantiles
-    ]
-    for j in range(n_extra_levels):
-        ladder.append(ladder[-1] * extra_level_factor)
-    ladder = sorted(set(ladder))
-    t_stage["radius_sample"] = time.perf_counter() - t0
-
     mins = xyz.min(0)
     maxs = xyz.max(0)
     # one padded upload: rows n.. are far-away staggered pad points used to
@@ -636,6 +645,21 @@ def knn_bigcloud(
     xyz_pad[n:] += np.arange(n_db - n, dtype=np.float32)[:, None]
     xyz_dev = jnp.asarray(xyz_pad)
     mins_dev = jnp.asarray(mins)
+    t_stage["upload_db"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    # radius sampling (and the final straggler fallback) brute-force against
+    # the SAME resident padded db when its row count divides the db block —
+    # always true on the bucketed >1M path
+    db_dev = xyz_dev if n_db % 65536 == 0 else None
+    _, rk = _sample_knn_radius(xyz, k, db_dev=db_dev)
+    ladder = [
+        max(float(np.quantile(rk, q)) * m, 1e-6) for q, m in level_quantiles
+    ]
+    for j in range(n_extra_levels):
+        ladder.append(ladder[-1] * extra_level_factor)
+    ladder = sorted(set(ladder))
+    t_stage["radius_sample"] = time.perf_counter() - t0
 
     out_i = jnp.zeros((n + 1, k), jnp.int32)  # row n = spare for padding
     out_d = jnp.full((n + 1, k), _INF, jnp.float32)
@@ -812,14 +836,19 @@ def knn_bigcloud(
         q = np.full((mq, 3), 2e17, np.float32)
         q[:n_bad] = xyz[fidx]
         bdb = 65536
-        gran2 = 1 << 20
-        ndb2 = -(-n // bdb) * bdb if n <= gran2 else -(-n // gran2) * gran2
-        db = np.full((ndb2, 3), 0, np.float32)
-        db[:n] = xyz
-        if ndb2 > n:
-            db[n:] = 1e17 + np.arange(ndb2 - n, dtype=np.float32)[:, None]
+        if db_dev is not None:
+            # reuse the resident padded db (no ~40 MB host rebuild + upload)
+            db_arr = db_dev
+        else:
+            gran2 = 1 << 20
+            ndb2 = -(-n // bdb) * bdb if n <= gran2 else -(-n // gran2) * gran2
+            db = np.full((ndb2, 3), 0, np.float32)
+            db[:n] = xyz
+            if ndb2 > n:
+                db[n:] = 1e17 + np.arange(ndb2 - n, dtype=np.float32)[:, None]
+            db_arr = jnp.asarray(db)
         fi, fd = knn_vs_db(
-            jnp.asarray(q), jnp.asarray(db), k + 1,
+            jnp.asarray(q), db_arr, k + 1,
             block_q=bq, block_db=bdb, recall_target=0.95,
         )
         fi = np.asarray(fi[:n_bad])
