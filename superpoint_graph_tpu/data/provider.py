@@ -278,13 +278,39 @@ def write_pcd(filename: str, xyz: np.ndarray, labels: np.ndarray | None = None):
 
 
 def read_las(filename: str):
-    """xyz from las/laz (provider.py:420-437); requires laspy."""
-    try:
-        import laspy
-    except ImportError as e:  # pragma: no cover - optional dep
-        raise ImportError("laspy not available; install it to read .las") from e
-    f = laspy.read(filename)
-    return np.stack([f.x, f.y, f.z], axis=1).astype(np.float32)
+    """xyz from las/laz (reference provider.py:420-437, which requires
+    laspy). Uncompressed .las (versions 1.0-1.4, any point format) is parsed
+    directly from the public binary layout — the header carries the record
+    length and the scaled int32 x/y/z always lead each point record — so no
+    optional dependency is needed; .laz (compressed) falls back to laspy if
+    present."""
+    with open(filename, "rb") as f:
+        head = f.read(375)
+        if head[:4] != b"LASF":
+            raise ValueError(f"{filename}: not a LAS file (bad signature)")
+        fmt = head[104]
+        if fmt & 0x80:  # LAZ compression bit
+            try:  # pragma: no cover - optional dep
+                import laspy
+
+                g = laspy.read(filename)
+                return np.stack([g.x, g.y, g.z], axis=1).astype(np.float32)
+            except ImportError as e:
+                raise ImportError(
+                    "compressed .laz needs laspy+lazrs; plain .las does not"
+                ) from e
+        to_pts = int(np.frombuffer(head[96:100], "<u4")[0])
+        rlen = int(np.frombuffer(head[105:107], "<u2")[0])
+        n = int(np.frombuffer(head[107:111], "<u4")[0])
+        if n == 0 and len(head) >= 255:  # LAS 1.4 64-bit count
+            n = int(np.frombuffer(head[247:255], "<u8")[0])
+        scale = np.frombuffer(head[131:155], "<f8")
+        offset = np.frombuffer(head[155:179], "<f8")
+        f.seek(to_pts)
+        raw = f.read(n * rlen)
+    rec = np.frombuffer(raw, np.uint8).reshape(n, rlen)
+    xyz_i = rec[:, :12].copy().view("<i4")
+    return (xyz_i.astype(np.float64) * scale + offset).astype(np.float32)
 
 
 # --------------------------------------------------------------------------

@@ -140,3 +140,69 @@ class TestSema3dReader:
             data, 8, lab, voxel_width=0.5, ver_batch=0
         )
         assert len(xyz) == len(labels)
+
+
+class TestLasReader:
+    """Self-contained .las binary reader (reference provider.py:420-437 uses
+    laspy; the rebuild parses the public layout directly)."""
+
+    def _write_las(self, path, xyz, version=(1, 2), point_format=1,
+                   rec_len=28):
+        import struct
+
+        scale = np.array([0.001, 0.001, 0.001])
+        offset = np.array([100.0, -50.0, 3.0])
+        n = len(xyz)
+        header_size = 227
+        head = bytearray(header_size)
+        head[0:4] = b"LASF"
+        head[24] = version[0]
+        head[25] = version[1]
+        struct.pack_into("<H", head, 94, header_size)
+        struct.pack_into("<I", head, 96, header_size)
+        head[104] = point_format
+        struct.pack_into("<H", head, 105, rec_len)
+        struct.pack_into("<I", head, 107, n)
+        struct.pack_into("<3d", head, 131, *scale)
+        struct.pack_into("<3d", head, 155, *offset)
+        ints = np.round((xyz - offset) / scale).astype(np.int32)
+        rec = np.zeros((n, rec_len), np.uint8)
+        rec[:, :12] = ints.astype("<i4").view(np.uint8).reshape(n, 12)
+        with open(path, "wb") as f:
+            f.write(bytes(head))
+            f.write(rec.tobytes())
+        return ints * scale + offset
+
+    def test_roundtrip(self, tmp_path):
+        from superpoint_graph_tpu.data.provider import read_las
+
+        rs = np.random.RandomState(0)
+        xyz = rs.rand(257, 3) * 80 + [80.0, -90.0, 0.0]
+        p = str(tmp_path / "cloud.las")
+        exact = self._write_las(p, xyz)
+        got = read_las(p)
+        assert got.shape == (257, 3)
+        np.testing.assert_allclose(got, exact.astype(np.float32), atol=1e-4)
+
+    def test_formats_and_14(self, tmp_path):
+        from superpoint_graph_tpu.data.provider import read_las
+
+        rs = np.random.RandomState(1)
+        xyz = rs.rand(31, 3) * 5
+        # format 3 (with RGB fields) and a longer record
+        p = str(tmp_path / "f3.las")
+        exact = self._write_las(p, xyz, point_format=3, rec_len=34)
+        np.testing.assert_allclose(
+            read_las(p), exact.astype(np.float32), atol=1e-4
+        )
+
+    def test_bad_signature(self, tmp_path):
+        import pytest
+
+        from superpoint_graph_tpu.data.provider import read_las
+
+        p = str(tmp_path / "bad.las")
+        with open(p, "wb") as f:
+            f.write(b"NOPE" + b"\x00" * 300)
+        with pytest.raises(ValueError):
+            read_las(p)
