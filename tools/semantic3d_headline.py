@@ -30,29 +30,36 @@ enable_compile_cache()
 SIDE = 220.0  # metres: large outdoor station footprint
 
 
-def station_chunk(rs: np.random.RandomState, n: int) -> np.ndarray:
+def station_chunk(rg: np.random.Generator, n: int) -> np.ndarray:
     """One chunk of a synthetic outdoor station: ground + building walls +
     volumetric clutter (surface-dominated like real LiDAR, so voxel pruning
-    reduces ~10x at 0.1 m like Semantic3D stations do at 0.05)."""
+    reduces ~10x at 0.1 m like Semantic3D stations do at 0.05).
+
+    All draws are float32 PCG (the legacy f64 RandomState version + float64
+    where-chains cost 17 s per 5e6-point chunk on the 1-core host — ~275 s
+    of pure data synthesis at 1e8)."""
+    f1 = np.float32
     n_ground = int(n * 0.55)
     n_wall = int(n * 0.35)
     n_scatter = n - n_ground - n_wall
     g = np.empty((n_ground, 3), np.float32)
-    g[:, 0] = rs.rand(n_ground) * SIDE
-    g[:, 1] = rs.rand(n_ground) * SIDE
-    g[:, 2] = 0.05 * np.sin(g[:, 0] * 0.13) + 0.02 * rs.randn(n_ground)
+    g[:, 0] = rg.random(n_ground, dtype=np.float32) * f1(SIDE)
+    g[:, 1] = rg.random(n_ground, dtype=np.float32) * f1(SIDE)
+    g[:, 2] = f1(0.05) * np.sin(g[:, 0] * f1(0.13)) + f1(
+        0.02
+    ) * rg.standard_normal(n_ground, dtype=np.float32)
 
     # 40 axis-aligned buildings, deterministic layout (same every chunk)
     brs = np.random.RandomState(12345)
-    bx = brs.rand(40) * (SIDE - 30) + 5
-    by = brs.rand(40) * (SIDE - 30) + 5
-    bw = brs.rand(40) * 18 + 6
-    bd = brs.rand(40) * 18 + 6
-    bh = brs.rand(40) * 12 + 4
-    bid = rs.randint(0, 40, n_wall)
-    side = rs.randint(0, 4, n_wall)
-    t = rs.rand(n_wall).astype(np.float32)
-    z = (rs.rand(n_wall) * bh[bid]).astype(np.float32)
+    bx = (brs.rand(40) * (SIDE - 30) + 5).astype(np.float32)
+    by = (brs.rand(40) * (SIDE - 30) + 5).astype(np.float32)
+    bw = (brs.rand(40) * 18 + 6).astype(np.float32)
+    bd = (brs.rand(40) * 18 + 6).astype(np.float32)
+    bh = (brs.rand(40) * 12 + 4).astype(np.float32)
+    bid = rg.integers(0, 40, n_wall)
+    side = rg.integers(0, 4, n_wall, dtype=np.int8)
+    t = rg.random(n_wall, dtype=np.float32)
+    z = rg.random(n_wall, dtype=np.float32) * bh[bid]
     wx = np.where(
         side < 2, bx[bid] + t * bw[bid],
         np.where(side == 2, bx[bid], bx[bid] + bw[bid]),
@@ -61,8 +68,8 @@ def station_chunk(rs: np.random.RandomState, n: int) -> np.ndarray:
         side < 2, np.where(side == 0, by[bid], by[bid] + bd[bid]),
         by[bid] + t * bd[bid],
     )
-    w = np.stack([wx, wy, z], axis=1).astype(np.float32)
-    w += 0.01 * rs.randn(n_wall, 3).astype(np.float32)
+    w = np.stack([wx, wy, z], axis=1)
+    w += f1(0.01) * rg.standard_normal((n_wall, 3), dtype=np.float32)
 
     # clutter as compact blobs (cars, bushes, poles — real LiDAR returns are
     # surface-dominated; a uniform volumetric fill would alone occupy ~1e7
@@ -70,12 +77,14 @@ def station_chunk(rs: np.random.RandomState, n: int) -> np.ndarray:
     # shared by every chunk, like the buildings
     crs = np.random.RandomState(777)
     n_blobs = 3000
-    cx = crs.rand(n_blobs, 3).astype(np.float32) * [SIDE, SIDE, 0.0]
-    cr = (crs.rand(n_blobs) * 0.8 + 0.2).astype(np.float32)
-    bidx = rs.randint(0, n_blobs, n_scatter)
-    s = cx[bidx] + rs.randn(n_scatter, 3).astype(np.float32) * (
-        cr[bidx][:, None] * 0.35
+    cx = crs.rand(n_blobs, 3).astype(np.float32) * np.array(
+        [SIDE, SIDE, 0.0], np.float32
     )
+    cr = (crs.rand(n_blobs) * 0.8 + 0.2).astype(np.float32)
+    bidx = rg.integers(0, n_blobs, n_scatter)
+    s = cx[bidx] + rg.standard_normal(
+        (n_scatter, 3), dtype=np.float32
+    ) * (cr[bidx][:, None] * f1(0.35))
     s[:, 2] = np.abs(s[:, 2])
     return np.concatenate([g, w, s])
 
@@ -102,7 +111,7 @@ def main():
 
     prune = native.prune if native.available() else prune_host
 
-    rs = np.random.RandomState(0)
+    rs = np.random.default_rng(0)
     xyz_parts, raw_total = [], 0
     t_gen = t_prune = 0.0
     # chunked generate + per-chunk prune (read_semantic3d_format semantics:
