@@ -259,3 +259,52 @@ class TestMergeDevice:
         padded = pair_stats(*args(s2, t2, e2))
         for a, b in zip(base, padded):
             np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+class TestGreedyMatchingAndDensify:
+    """Round-3 host-speed paths: C++ greedy matching == python fallback;
+    O(n) dense densify == np.unique oracle."""
+
+    def test_native_matching_matches_python(self):
+        from superpoint_graph_tpu import native
+        from superpoint_graph_tpu.ops.cutpursuit import _greedy_matching
+
+        if not native.available():
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        rs = np.random.RandomState(3)
+        for trial in range(5):
+            n_comp = rs.randint(10, 400)
+            p = rs.randint(1, 800)
+            a = rs.randint(0, n_comp, p).astype(np.int64)
+            b = (a + 1 + rs.randint(0, max(n_comp - 1, 1), p)) % n_comp
+            keep = a != b
+            a, b = a[keep], b[keep]
+            used = np.zeros(n_comp, bool)
+            ref = np.zeros(len(a), bool)
+            for i, (x, y) in enumerate(zip(a, b)):
+                if used[x] or used[y]:
+                    continue
+                used[x] = used[y] = True
+                ref[i] = True
+            got = native.greedy_matching(a, b, n_comp)
+            np.testing.assert_array_equal(got, ref)
+            # module-level entry must agree too
+            np.testing.assert_array_equal(_greedy_matching(a, b, n_comp), ref)
+
+    def test_densify_dense_vs_unique(self):
+        from superpoint_graph_tpu.ops.cutpursuit import (
+            _densify_first_occurrence,
+        )
+
+        rs = np.random.RandomState(4)
+        for n, hi in [(1, 1), (50, 3), (4000, 4000), (20000, 17)]:
+            lab = rs.randint(0, hi, n)
+            u, fp, inv = np.unique(
+                lab, return_index=True, return_inverse=True
+            )
+            ref = np.argsort(np.argsort(fp))[inv].astype(np.int32)
+            np.testing.assert_array_equal(
+                _densify_first_occurrence(lab), ref
+            )
