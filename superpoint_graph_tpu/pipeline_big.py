@@ -37,7 +37,7 @@ from .ops.cutpursuit_band import (
     _prep_band_chunk, _solve_band, cutpursuit_band, morton_order,
     morton_perm_device,
 )
-from .ops.geof import compute_geof_rows
+from .ops.geof import compute_geof_rows, compute_geof_rows_cols
 from .ops.knn import knn_bigcloud
 from .ops.merge_device import merge_regions_device
 
@@ -49,6 +49,13 @@ LAST_CP_STATS: dict = {}
 # transients (w_intra, same_band) crowd HBM next to the kNN tables
 # (n_pad 2^20 -> band 5.4 GB bf16 + w_intra 5.4 + same_band 2.7): chunk
 CHUNKED_CP_THRESHOLD = 1 << 19
+
+# SPGT_GEOF_COLS=1 switches the giant path's geof to the columnar kernel
+# (no rank-3 intermediates; see ops/geof.compute_geof_rows_cols) — opt-in
+# until A/B'd against the fused rank-3 form on the real chip
+import os as _os
+
+GEOF_COLS = _os.environ.get("SPGT_GEOF_COLS", "0") == "1"
 
 
 def chunked_cutpursuit(
@@ -329,9 +336,10 @@ def partition_cloud_big(
                 pass
 
     xyz_dev = jnp.asarray(xyz)
+    geof_fn = compute_geof_rows_cols if GEOF_COLS else compute_geof_rows
     geof_parts = [
-        compute_geof_rows(xyz_dev, xyz_dev[s : min(n, s + geof_chunk)],
-                          bi[s : min(n, s + geof_chunk)])
+        geof_fn(xyz_dev, xyz_dev[s : min(n, s + geof_chunk)],
+                bi[s : min(n, s + geof_chunk)])
         for s in range(0, n, geof_chunk)
     ]
     geof_dev = geof_parts[0] if len(geof_parts) == 1 else jnp.concatenate(
