@@ -212,7 +212,7 @@ def chunked_cutpursuit_device(
     of_cap = max(4096, 1 << int(np.ceil(np.log2(max(e_chunk // 4, 2)))))
     in_comp = np.empty(n, np.int64)
     base = 0
-    t_solve = t_merge = 0.0
+    t_solve = t_merge = t_prep = 0.0
     for c in range(n_chunks):
         t0 = time.perf_counter()
         s, e = c * stride, min((c + 1) * stride, n)
@@ -232,13 +232,15 @@ def chunked_cutpursuit_device(
         cap2 = max(16384, 1 << int(np.ceil(np.log2(max(of_n, 2)))))
         if cap2 < of_cap:
             of_src, of_tgt, of_w = of_src[:cap2], of_tgt[:cap2], of_w[:cap2]
+        t_p = time.perf_counter()
+        t_prep += t_p - t0
         comp, _, _ = _solve_band(
             f_rows, band_w, of_src, of_tgt, of_w, nw,
             jnp.float32(reg_strength), jnp.float32(weight_decay), **solver_kw,
         )
         comp_core = np.asarray(comp[s - x0 : s - x0 + (e - s)])
         t1 = time.perf_counter()
-        t_solve += t1 - t0
+        t_solve += t1 - t_p
         label = merge_regions_device(
             f_rows, nw, comp, esrc, etgt, ew, chunk_pad,
             float(reg_strength),
@@ -272,7 +274,7 @@ def chunked_cutpursuit_device(
     components = group_components(in_comp)
     LAST_CP_STATS.update(
         n=n, n_chunks=n_chunks, morton=round(t_morton, 2),
-        solve=round(t_solve, 2),
+        prep=round(t_prep, 2), solve=round(t_solve, 2),
         chunk_merge=round(t_merge, 2), heal=round(t_heal, 2),
         group=round(time.perf_counter() - t0, 2),
     )
