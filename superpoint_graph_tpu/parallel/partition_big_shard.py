@@ -239,7 +239,7 @@ def chunked_cutpursuit_sharded(
                 chunk_pad, float(reg_strength),
             ) if np_d else np.arange(chunk_pad)
             core = label[comp_h[dev, halo : halo + g_hi - g_lo]]
-            _, core = np.unique(core, return_inverse=True)
+            core = _densify_first_occurrence(core)
             in_comp[perm[g_lo:g_hi]] = base + core
             base += int(core.max()) + 1 if len(core) else 0
 

@@ -116,7 +116,7 @@ def chunked_cutpursuit(
         )
         core = ic_ext[s - x0 : s - x0 + (e - s)].astype(np.int64)
         # renumber the labels that actually appear on the core
-        _, core = np.unique(core, return_inverse=True)
+        core = _densify_first_occurrence(core)
         in_comp[perm[s:e]] = base + core
         base += int(core.max()) + 1 if len(core) else 0
 
@@ -246,7 +246,7 @@ def chunked_cutpursuit_device(
             float(reg_strength),
         )
         core = label[comp_core]
-        _, core = np.unique(core, return_inverse=True)
+        core = _densify_first_occurrence(core)
         in_comp[perm[s:e]] = base + core
         base += int(core.max()) + 1 if len(core) else 0
         t_merge += time.perf_counter() - t1
