@@ -302,7 +302,10 @@ def read_las(filename: str):
         to_pts = int(np.frombuffer(head[96:100], "<u4")[0])
         rlen = int(np.frombuffer(head[105:107], "<u2")[0])
         n = int(np.frombuffer(head[107:111], "<u4")[0])
-        if n == 0 and len(head) >= 255:  # LAS 1.4 64-bit count
+        # LAS 1.4 moved the (64-bit) count to offset 247; gate on the actual
+        # version so a legacy file with legacy-count 0 never reads VLR bytes
+        # as a count
+        if n == 0 and head[25] >= 4 and len(head) >= 255:
             n = int(np.frombuffer(head[247:255], "<u8")[0])
         scale = np.frombuffer(head[131:155], "<f8")
         offset = np.frombuffer(head[155:179], "<f8")

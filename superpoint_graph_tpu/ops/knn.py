@@ -685,13 +685,19 @@ def knn_bigcloud(
         # device 2-key cell sort (per-axis int32, xy fused to one int32 key,
         # z second key). The host path — f64-upcast coords, int64 flat keys,
         # a 1e7 argsort and a ~48 MB order upload per level — was ~12 s per
-        # level at 1e7 on the 1-core host.
+        # level at 1e7 on the 1-core host. The fused key needs
+        # (Dx+2)*Dy < 2^31: clamp the cell size so each xy axis has at most
+        # 32768 cells — bigger cells only widen candidate windows, and the
+        # exactness certificate already handles under-covered queries, so
+        # correctness is unaffected (the pre-rewrite int64 host keys had no
+        # such limit; mm-scale grids over 100 m extents hit it)
+        h = max(
+            h,
+            float(maxs[0] - mins[0]) / 32000.0,
+            float(maxs[1] - mins[1]) / 32000.0,
+        )
         Dy = int(np.floor((maxs[1] - mins[1]) / h)) + 3
         Dx = int(np.floor((maxs[0] - mins[0]) / h)) + 3
-        assert (Dx + 2) * Dy < 2**31 - 2**23, (
-            f"cell grid too fine for the fused int32 xy key (Dx={Dx}, "
-            f"Dy={Dy}); raise level_quantiles / voxel-prune first"
-        )
         kxy_s, cz_s, order_dev = _level_sort(
             xyz_dev, mins_dev, jnp.float32(1.0 / h), jnp.int32(Dy)
         )

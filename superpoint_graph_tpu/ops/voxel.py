@@ -164,14 +164,27 @@ def prune_host(xyz, voxel_size, rgb, labels, objects, n_labels, n_objects):
 
     seg_of_point = np.empty(n, np.int64)
     seg_of_point[order] = rank[np.cumsum(head) - 1]
-    if n_labels > 0 and labels is not None and np.size(labels):
+    # histogram width follows n_labels like the device and native paths:
+    # labels None just counts everything into class 0 (width n_labels+1,
+    # NOT (m, 1) — the h5 schema width is part of the byte-compat contract)
+    if n_labels > 0:
         hist = np.zeros((m, n_labels + 1), np.uint32)
-        np.add.at(hist, (seg_of_point, np.asarray(labels, np.int64)), 1)
+        lab = (
+            np.asarray(labels, np.int64)
+            if labels is not None and np.size(labels)
+            else np.zeros(n, np.int64)
+        )
+        np.add.at(hist, (seg_of_point, lab), 1)
     else:
         hist = np.zeros((m, 1), np.uint32)
-    if n_objects > 0 and objects is not None and np.size(objects):
+    if n_objects > 0:
         ohist = np.zeros((m, n_objects + 1), np.uint32)
-        np.add.at(ohist, (seg_of_point, np.asarray(objects, np.int64)), 1)
+        obj = (
+            np.asarray(objects, np.int64)
+            if objects is not None and np.size(objects)
+            else np.zeros(n, np.int64)
+        )
+        np.add.at(ohist, (seg_of_point, obj), 1)
     else:
         ohist = np.zeros((m, 1), np.uint32)
     return out_xyz, out_rgb, hist, ohist

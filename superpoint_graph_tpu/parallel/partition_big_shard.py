@@ -267,7 +267,17 @@ def chunked_cutpursuit_sharded(
             tgt = bi[iota].reshape(-1) - g0  # local buffer positions
             d0 = jnp.sqrt(jnp.maximum(bd[iota].reshape(-1), 0.0))
             w = 1.0 / (lambda_edge_weight + d0 / max(dmean, 1e-12))
-            ok = real[src - halo] & (tgt >= 0) & (tgt < l_buf)
+            # distance <= halo makes this pass exactly disjoint from the
+            # host fold (which re-adds Morton distance > halo): a target
+            # can sit inside the buffer at distance up to L+2*halo, and
+            # without the bound such edges were summed into pair_w twice
+            # (systematic over-merging vs the single-chip heal)
+            ok = (
+                real[src - halo]
+                & (tgt >= 0)
+                & (tgt < l_buf)
+                & (jnp.abs(src - tgt) <= halo)
+            )
             w = jnp.where(ok, w, 0.0)
             tgt = jnp.clip(tgt, 0, l_buf - 1)
             nw = real.astype(jnp.float32)

@@ -321,3 +321,63 @@ class TestShardedChunkedCutPursuit:
         glob_var = np.var(xyz[:, 2])
         intra = np.mean([xyz[c, 2].var() for c in comps if len(c) > 10])
         assert intra < glob_var * 0.5
+
+
+class TestShardedHealAccounting:
+    """The sharded heal's deduplicated pair weights must equal the
+    brute-force directed cross-edge weight sums — the device pass (Morton
+    distance <= halo) and the host fold (> halo) must be exactly disjoint
+    (a buffer-membership-only device test double-counted edges with
+    distance in (halo, L+2*halo])."""
+
+    def test_pair_weights_match_bruteforce(self, rng):
+        from superpoint_graph_tpu.data.synthetic import synthetic_room
+        from superpoint_graph_tpu.parallel import partition_big_shard as pbs
+        from superpoint_graph_tpu.parallel.mesh import make_mesh
+
+        xyz, rgb, _, _ = synthetic_room(rng, n_points=4000)
+        feats = np.concatenate(
+            [xyz, rgb.astype(np.float32) / 255.0], axis=1
+        ).astype(np.float32)
+        d2 = ((xyz[:, None, :] - xyz[None, :, :]) ** 2).sum(-1)
+        np.fill_diagonal(d2, np.inf)
+        idx = np.argsort(d2, axis=1)[:, :5].astype(np.int64)
+        d2k = np.take_along_axis(d2, idx, axis=1).astype(np.float32)
+        mesh = make_mesh(8)
+
+        captured = {}
+        real_merge = pbs.merge_rounds
+
+        def spy(S, m, pa, pb, pw, n_comp, reg, **kw):
+            captured["pa"] = np.asarray(pa).copy()
+            captured["pb"] = np.asarray(pb).copy()
+            captured["pw"] = np.asarray(pw).copy()
+            # identity labels: freeze the pre-heal partition so the final
+            # in_component is a relabeling of the labels the pairs refer to
+            return np.arange(n_comp)
+
+        pbs.merge_rounds = spy
+        try:
+            _, ic = pbs.chunked_cutpursuit_sharded(
+                feats, xyz, idx, d2k, 0.1, mesh, chunk_points=512
+            )
+        finally:
+            pbs.merge_rounds = real_merge
+
+        # brute-force: directed kNN edges, reference weights, pair sums
+        src = np.repeat(np.arange(len(xyz)), 5)
+        tgt = idx.reshape(-1)
+        d0 = np.sqrt(np.maximum(d2k, 0.0)).reshape(-1)
+        w = 1.0 / (1.0 + d0 / d0.mean())
+        ca, cb = ic[src], ic[tgt]
+        cross = ca != cb
+        lo = np.minimum(ca[cross], cb[cross]).astype(np.int64)
+        hi = np.maximum(ca[cross], cb[cross]).astype(np.int64)
+        key = lo * (ic.max() + 1) + hi
+        uk, kinv = np.unique(key, return_inverse=True)
+        expect = np.zeros(len(uk))
+        np.add.at(expect, kinv, w[cross])
+
+        got = np.sort(captured["pw"])
+        assert len(got) == len(uk), (len(got), len(uk))
+        np.testing.assert_allclose(got, np.sort(expect), rtol=2e-4)
