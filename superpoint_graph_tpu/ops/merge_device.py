@@ -28,6 +28,30 @@ import numpy as np
 from .cutpursuit import merge_rounds
 
 
+def _dedup_pairs(ca, cb, w, n_comp_cap):
+    """Shared pair-dedup block: region pairs (ca, cb) with weights w →
+    2-key-sorted (lo_s, hi_s, w_s), run-start mask `new`, compact pair ids
+    `pid`, and n_pairs. Invalid entries must already carry w == 0 /
+    ca == cb; they sort to the tail and their weights are zeroed. Used by
+    `_pair_stats_kernel` and the sharded heal
+    (parallel/partition_big_shard.heal_stats) so the sentinel/dedup rules
+    cannot drift between the single-chip and mesh paths."""
+    valid = (ca != cb) & (w > 0.0)
+    lo = jnp.where(valid, jnp.minimum(ca, cb), jnp.int32(n_comp_cap))
+    hi = jnp.where(valid, jnp.maximum(ca, cb), jnp.int32(n_comp_cap))
+    lo_s, hi_s, w_s = jax.lax.sort((lo, hi, w), num_keys=2)
+    prev_lo = jnp.concatenate([jnp.full(1, -1, jnp.int32), lo_s[:-1]])
+    prev_hi = jnp.concatenate([jnp.full(1, -1, jnp.int32), hi_s[:-1]])
+    valid_s = lo_s < n_comp_cap
+    new = ((lo_s != prev_lo) | (hi_s != prev_hi)) & valid_s
+    pid = jnp.cumsum(new.astype(jnp.int32)) - 1
+    n_pairs = jnp.sum(new.astype(jnp.int32))
+    # invalid entries sort to the tail but keep their weight and inherit the
+    # last valid pid — zero them so they never leak into the last pair
+    w_s = jnp.where(valid_s, w_s, 0.0)
+    return lo_s, hi_s, w_s, new, pid, n_pairs
+
+
 @partial(jax.jit, static_argnames=("n_comp_cap",))
 def _pair_stats_kernel(f, nw, comp, src, tgt, w, *, n_comp_cap: int):
     """Edge/node → region reduction, all shapes static.
@@ -46,19 +70,7 @@ def _pair_stats_kernel(f, nw, comp, src, tgt, w, *, n_comp_cap: int):
 
     ca = comp[src]
     cb = comp[tgt]
-    valid = (ca != cb) & (w > 0.0)
-    lo = jnp.where(valid, jnp.minimum(ca, cb), jnp.int32(n_comp_cap))
-    hi = jnp.where(valid, jnp.maximum(ca, cb), jnp.int32(n_comp_cap))
-    lo_s, hi_s, w_s = jax.lax.sort((lo, hi, w), num_keys=2)
-    prev_lo = jnp.concatenate([jnp.full(1, -1, jnp.int32), lo_s[:-1]])
-    prev_hi = jnp.concatenate([jnp.full(1, -1, jnp.int32), hi_s[:-1]])
-    valid_s = lo_s < n_comp_cap
-    new = ((lo_s != prev_lo) | (hi_s != prev_hi)) & valid_s
-    pid = jnp.cumsum(new.astype(jnp.int32)) - 1
-    n_pairs = jnp.sum(new.astype(jnp.int32))
-    # invalid entries sort to the tail but keep their weight and inherit the
-    # last valid pid — zero them so they never leak into the last pair
-    w_s = jnp.where(valid_s, w_s, 0.0)
+    lo_s, hi_s, w_s, new, pid, n_pairs = _dedup_pairs(ca, cb, w, n_comp_cap)
     return S, m, lo_s, hi_s, w_s, new, pid, n_pairs
 
 

@@ -41,7 +41,7 @@ from ..ops.cutpursuit_band import B as _BLK
 from ..ops.cutpursuit_band import HALO as _BHALO
 from ..ops.cutpursuit_band import WIN as _BWIN
 from ..ops.cutpursuit_band import _solve_band, morton_order
-from ..ops.merge_device import _compact_pairs, _pair_stats_kernel
+from ..ops.merge_device import _compact_pairs, _dedup_pairs, _pair_stats_kernel
 
 
 def _window_band(bf, bidx, bd2, x0_loc, g0_win, n, dmean, lam,
@@ -281,25 +281,13 @@ def chunked_cutpursuit_sharded(
             w = jnp.where(ok, w, 0.0)
             tgt = jnp.clip(tgt, 0, l_buf - 1)
             nw = real.astype(jnp.float32)
-            # inline pair reduction (the _pair_stats_kernel layout, but S/m
-            # need a psum across slabs, so the pieces are spelled out here)
+            # shared pair reduction (ops.merge_device._dedup_pairs); only the
+            # S/m moments need a psum across slabs, done below
             ca = bc[iota][src - halo]
             cb = bc[tgt]
-            valid = (ca != cb) & (w > 0.0)
-            lo = jnp.where(valid, jnp.minimum(ca, cb), jnp.int32(n_comp_cap))
-            hi = jnp.where(valid, jnp.maximum(ca, cb), jnp.int32(n_comp_cap))
-            lo_s, hi_s, w_s = jax.lax.sort((lo, hi, w), num_keys=2)
-            prev_lo = jnp.concatenate(
-                [jnp.full(1, -1, jnp.int32), lo_s[:-1]]
+            lo_s, hi_s, w_s, new, pid, n_pairs = _dedup_pairs(
+                ca, cb, w, n_comp_cap
             )
-            prev_hi = jnp.concatenate(
-                [jnp.full(1, -1, jnp.int32), hi_s[:-1]]
-            )
-            valid_s = lo_s < n_comp_cap
-            new = ((lo_s != prev_lo) | (hi_s != prev_hi)) & valid_s
-            pid = jnp.cumsum(new.astype(jnp.int32)) - 1
-            w_s = jnp.where(valid_s, w_s, 0.0)
-            n_pairs = jnp.sum(new.astype(jnp.int32))
             S = jax.lax.psum(
                 jax.ops.segment_sum(
                     bf[iota] * nw[:, None], bc[iota],
