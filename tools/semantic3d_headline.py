@@ -97,6 +97,11 @@ def main():
     ap.add_argument("--k_nn_geof", type=int, default=45)
     ap.add_argument("--k_nn_adj", type=int, default=10)
     ap.add_argument("--reg_strength", type=float, default=0.8)
+    ap.add_argument(
+        "--warm_repeat", action="store_true",
+        help="re-run the partition a second time in-process to record the "
+        "warm (compile-free) number next to the cold one",
+    )
     args = ap.parse_args()
 
     # host prune for the raw chunks: at 5e6 rows/chunk the padded upload
@@ -154,6 +159,20 @@ def main():
     # skip the ~1 GB adjacency/geof fetch over the tunnel
     res = partition_cloud_big(xyz, rgb, cfg=cfg, host_outputs=False)
     t_cold = time.perf_counter() - t0
+    times_cold = {
+        k: (round(v, 2) if isinstance(v, float) else v)
+        for k, v in res.times.items()
+    }
+
+    t_warm = times_warm = None
+    if args.warm_repeat:
+        t0 = time.perf_counter()
+        res = partition_cloud_big(xyz, rgb, cfg=cfg, host_outputs=False)
+        t_warm = time.perf_counter() - t0
+        times_warm = {
+            k: (round(v, 2) if isinstance(v, float) else v)
+            for k, v in res.times.items()
+        }
 
     row = {
         "raw_points": int(raw_total),
@@ -166,11 +185,14 @@ def main():
         "raw_mpts_per_sec": round(raw_total / (t_prune + t_cold) / 1e6, 3),
         "n_superpoints": len(res.components),
         "n_superedges": int(res.graph_sp["source"].shape[0]),
-        "times": {
-            k: (round(v, 2) if isinstance(v, float) else v)
-            for k, v in res.times.items()
-        },
+        "times": times_cold,
     }
+    if t_warm is not None:
+        row["partition_seconds_warm"] = round(t_warm, 1)
+        row["raw_mpts_per_sec_warm"] = round(
+            raw_total / (t_prune + t_warm) / 1e6, 3
+        )
+        row["times_warm"] = times_warm
     print(json.dumps(row), flush=True)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "semantic3d_headline_results.json")
