@@ -19,6 +19,7 @@ union-find, tiny arrays).
 """
 from __future__ import annotations
 
+import time
 from functools import partial
 
 import jax
@@ -26,6 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from .cutpursuit import merge_rounds
+
+# cumulative split of merge_regions_device time since last reset:
+# device edge->region reduction (+ result fetch) vs host merge rounds.
+# Reset by callers that want a per-call split (pipeline_big stats).
+LAST_MERGE_STATS = {"reduce": 0.0, "rounds": 0.0}
 
 
 def _dedup_pairs(ca, cb, w, n_comp_cap):
@@ -129,9 +135,14 @@ def merge_regions_device(f_dev, nw_dev, comp_dev, src_dev, tgt_dev, w_dev,
     closed-form energy delta) but the O(edges) pass never touches the host.
     Returns the path-compressed label array [n_comp] (region -> surviving
     root id); the caller applies it to its own in_component layout."""
+    t0 = time.perf_counter()
     S, m, pa, pb, pw = pair_stats(
         f_dev, nw_dev, comp_dev, src_dev, tgt_dev, w_dev, n_comp
     )
+    t1 = time.perf_counter()
+    LAST_MERGE_STATS["reduce"] += t1 - t0
     if len(pa) == 0:
         return np.arange(n_comp)
-    return merge_rounds(S, m, pa, pb, pw, n_comp, reg, max_rounds=max_rounds)
+    out = merge_rounds(S, m, pa, pb, pw, n_comp, reg, max_rounds=max_rounds)
+    LAST_MERGE_STATS["rounds"] += time.perf_counter() - t1
+    return out

@@ -39,7 +39,7 @@ from .ops.cutpursuit_band import (
 )
 from .ops.geof import compute_geof_rows, compute_geof_rows_cols
 from .ops.knn import knn_bigcloud
-from .ops.merge_device import merge_regions_device
+from .ops.merge_device import LAST_MERGE_STATS, merge_regions_device
 
 # stage split of the last chunked_cutpursuit_device call (observability for
 # the giant-cloud tools; same pattern as cutpursuit_band.LAST_SOLVE_STATS)
@@ -213,6 +213,7 @@ def chunked_cutpursuit_device(
     in_comp = np.empty(n, np.int64)
     base = 0
     t_solve = t_merge = t_prep = 0.0
+    LAST_MERGE_STATS.update(reduce=0.0, rounds=0.0)
     for c in range(n_chunks):
         t0 = time.perf_counter()
         s, e = c * stride, min((c + 1) * stride, n)
@@ -277,6 +278,8 @@ def chunked_cutpursuit_device(
         prep=round(t_prep, 2), solve=round(t_solve, 2),
         chunk_merge=round(t_merge, 2), heal=round(t_heal, 2),
         group=round(time.perf_counter() - t0, 2),
+        merge_reduce=round(LAST_MERGE_STATS["reduce"], 2),
+        merge_rounds=round(LAST_MERGE_STATS["rounds"], 2),
     )
     return components, in_comp.astype(np.int32)
 
