@@ -182,6 +182,7 @@ def chunked_cutpursuit_device(
     When `xyz_dev` is given the Morton permutation is computed on device
     (morton_perm_device — one lax.sort instead of ~35 s of host uint64
     bit-twiddling at 1e7). Returns (components, in_component)."""
+    t_all0 = time.perf_counter()
     n = int(f_dev.shape[0])
     k_adj = int(idx_adj_dev.shape[1])
     # the band layout needs whole blocks; round the window up to block size
@@ -273,13 +274,22 @@ def chunked_cutpursuit_device(
         active = in_comp[src] == in_comp[tgt]
         _, in_comp = connected_components(n, src, tgt, active, cutoff)
     components = group_components(in_comp)
+    t_group = time.perf_counter() - t0
     LAST_CP_STATS.update(
         n=n, n_chunks=n_chunks, morton=round(t_morton, 2),
         prep=round(t_prep, 2), solve=round(t_solve, 2),
         chunk_merge=round(t_merge, 2), heal=round(t_heal, 2),
-        group=round(time.perf_counter() - t0, 2),
+        group=round(t_group, 2),
         merge_reduce=round(LAST_MERGE_STATS["reduce"], 2),
         merge_rounds=round(LAST_MERGE_STATS["rounds"], 2),
+        # wall minus the timed stages: dispatch latency, the cutoff pass,
+        # anything not covered above (a ~30 s gap showed up here at 2e6 in
+        # the r3 receipts; keep it visible)
+        other=round(
+            (time.perf_counter() - t_all0)
+            - (t_morton + t_prep + t_solve + t_merge + t_heal + t_group),
+            2,
+        ),
     )
     return components, in_comp.astype(np.int32)
 
@@ -380,6 +390,7 @@ def partition_cloud_big(
         distances = dist.reshape(-1).astype(np.float32)
     else:
         src = tgt = None
+    t_hostedges = time.perf_counter() - t0
     components, in_component = chunked_cutpursuit_device(
         f_dev, idx_adj_dev, d2_adj_dev, xyz, cfg.reg_strength,
         lambda_edge_weight=cfg.lambda_edge_weight,
@@ -387,6 +398,7 @@ def partition_cloud_big(
         src=src, tgt=tgt, xyz_dev=xyz_dev,
     )
     times["partition"] = time.perf_counter() - t0
+    LAST_CP_STATS["host_edges"] = round(t_hostedges, 2)
     times["cp_info"] = dict(LAST_CP_STATS)
 
     t0 = time.perf_counter()

@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--k_nn_adj", type=int, default=10)
     ap.add_argument("--reg_strength", type=float, default=0.1)
     ap.add_argument("--warm", type=int, default=1)
+    ap.add_argument("--out", type=str, default="bigcloud_partition_results.json",
+                    help="results filename (under tools/)")
     args = ap.parse_args()
 
     from superpoint_graph_tpu.pipeline import PartitionConfig
@@ -69,8 +71,7 @@ def main():
         results.append(row)
         del xyz, res
 
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "bigcloud_partition_results.json")
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), args.out)
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print("wrote", out)
