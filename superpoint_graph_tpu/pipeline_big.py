@@ -385,9 +385,13 @@ def partition_cloud_big(
 
     t0 = time.perf_counter()
     if host_outputs:
-        src = np.repeat(np.arange(n, dtype=np.int64), cfg.k_nn_adj)
-        tgt = idx_adj.reshape(-1).astype(np.int64)
-        distances = dist.reshape(-1).astype(np.float32)
+        # build the edge list in its FINAL graph_nn dtype (uint32) — the old
+        # int64 repeat + astype chain was three 160 MB host passes (4 s of
+        # the partition stage at 2e6 on the 1-core box); int32->uint32 is a
+        # free view (kNN ids are non-negative)
+        src = np.repeat(np.arange(n, dtype=np.uint32), cfg.k_nn_adj)
+        tgt = np.ascontiguousarray(idx_adj).view(np.uint32).reshape(-1)
+        distances = dist.reshape(-1)
     else:
         src = tgt = None
     t_hostedges = time.perf_counter() - t0
@@ -417,8 +421,8 @@ def partition_cloud_big(
     if host_outputs:
         graph_nn = {
             "is_nn": True,
-            "source": src.astype(np.uint32),
-            "target": tgt.astype(np.uint32),
+            "source": src,
+            "target": tgt,
             "distances": distances,
         }
     else:
