@@ -309,23 +309,29 @@ def host_partition(xyz, rgb, cfg):
         geof_fn = compute_geof_numpy
         cp_fn = lambda f, s, t, w, reg: cutpursuit(f, s, t, w, reg, max_iter=6)
 
-    t0 = time.perf_counter()
-    nn = NearestNeighbors(
-        n_neighbors=cfg.k_nn_geof + 1, algorithm="kd_tree"
-    ).fit(xyz)
-    dist, idx = nn.kneighbors(xyz)
-    idx, dist = idx[:, 1:].astype(np.uint32), dist[:, 1:]
-    geof = geof_fn(xyz, idx)
-    src = np.repeat(np.arange(len(xyz)), cfg.k_nn_adj)
-    tgt = idx[:, : cfg.k_nn_adj].reshape(-1)
-    d = dist[:, : cfg.k_nn_adj].reshape(-1)
-    w = (1.0 / (cfg.lambda_edge_weight + d / d.mean())).astype(np.float32)
-    feats = np.hstack([geof, rgb / 255.0]).astype(np.float32)
-    feats[:, 3] *= 2.0
-    comps, in_comp = cp_fn(feats, src, tgt, w, cfg.reg_strength)
-    compute_sp_graph(xyz, cfg.d_se_max, in_comp, comps, None, 0,
-                     adjacency=cfg.spg_adjacency)
-    return time.perf_counter() - t0
+    # best-of-N like every TPU leg: the 1-core box has up to 4x run-to-run
+    # variance (BASELINE.md), and a single draw made `vs_baseline` noise
+    # (19.9x -> 42.3x -> 16.8x across rounds on identical code)
+    best = float("inf")
+    for _ in range(N_BEST):
+        t0 = time.perf_counter()
+        nn = NearestNeighbors(
+            n_neighbors=cfg.k_nn_geof + 1, algorithm="kd_tree"
+        ).fit(xyz)
+        dist, idx = nn.kneighbors(xyz)
+        idx, dist = idx[:, 1:].astype(np.uint32), dist[:, 1:]
+        geof = geof_fn(xyz, idx)
+        src = np.repeat(np.arange(len(xyz)), cfg.k_nn_adj)
+        tgt = idx[:, : cfg.k_nn_adj].reshape(-1)
+        d = dist[:, : cfg.k_nn_adj].reshape(-1)
+        w = (1.0 / (cfg.lambda_edge_weight + d / d.mean())).astype(np.float32)
+        feats = np.hstack([geof, rgb / 255.0]).astype(np.float32)
+        feats[:, 3] *= 2.0
+        comps, in_comp = cp_fn(feats, src, tgt, w, cfg.reg_strength)
+        compute_sp_graph(xyz, cfg.d_se_max, in_comp, comps, None, 0,
+                         adjacency=cfg.spg_adjacency)
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 _HOST_INF_SNIPPET = r"""
@@ -347,11 +353,14 @@ trainer = Trainer(model, checkpoint_ptn=False)
 state = trainer.init(jax.random.PRNGKey(0), batches[0])
 for b in batches:
     trainer.eval_step(state, b)
-t0 = time.perf_counter()
-for b in batches:
-    loss, logits = trainer.eval_step(state, b)
-logits.block_until_ready()
-print(json.dumps({{"sec_per_cloud": (time.perf_counter() - t0) / len(batches)}}))
+best = float("inf")
+for _ in range(3):  # best-of-N, matching every other leg
+    t0 = time.perf_counter()
+    for b in batches:
+        loss, logits = trainer.eval_step(state, b)
+    logits.block_until_ready()
+    best = min(best, (time.perf_counter() - t0) / len(batches))
+print(json.dumps({{"sec_per_cloud": best}}))
 """
 
 
@@ -380,6 +389,29 @@ def host_inference(batches, tmpdir):
     )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)["sec_per_cloud"]
+
+
+def bigcloud_leg(n=2_000_000):
+    """Giant-cloud partition throughput (the pipeline_big path, VERDICT r3
+    item 5): one cold run (whatever the persistent cache doesn't serve) and
+    one warm run on the same 2e6-point scene. Returns (warm_s, cold_s)."""
+    from superpoint_graph_tpu.data.synthetic import big_scene
+    from superpoint_graph_tpu.pipeline import PartitionConfig
+    from superpoint_graph_tpu.pipeline_big import partition_cloud_big
+
+    xyz = big_scene(n)
+    rgb = np.full((len(xyz), 3), 127, np.uint8)
+    cfg = PartitionConfig(
+        voxel_width=0.0, k_nn_geof=45, k_nn_adj=10, reg_strength=0.1,
+        spg_adjacency="knn",
+    )
+    t0 = time.perf_counter()
+    partition_cloud_big(xyz, rgb, cfg=cfg)
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    partition_cloud_big(xyz, rgb, cfg=cfg)
+    warm = time.perf_counter() - t0
+    return warm, cold
 
 
 def main():
@@ -421,6 +453,16 @@ def main():
         t_inf_host, vs_inf = float("nan"), float("nan")
     vs_e2e = (t_part_host + t_inf_host) / (t_part + t_inf)
 
+    try:
+        big_warm, big_cold = bigcloud_leg()
+        big_keys = {
+            "bigcloud_2e6_mpts": round(2.0 / big_warm, 4),
+            "bigcloud_2e6_warm_sec": round(big_warm, 1),
+            "bigcloud_2e6_cold_sec": round(big_cold, 1),
+        }
+    except Exception:
+        big_keys = {}
+
     print(
         json.dumps(
             {
@@ -449,6 +491,7 @@ def main():
                 "t_cp_sec": round(roof["t_cp"], 4),
                 "cp_outer_iters": roof["cp_outer_iters"],
                 "best_of": N_BEST,
+                **big_keys,
             }
         )
     )

@@ -147,3 +147,23 @@ def random_spg_batch(
         edge_feats=jnp.asarray(edge_feats),
         edge_mask=jnp.asarray(edge_mask),
     )
+
+
+def big_scene(n_points: int, seed: int = 0) -> np.ndarray:
+    """Semantic3D-scale synthetic scan: a grid of `synthetic_room` tiles
+    (surface geometry, non-uniform density), ~n_points total. The shared
+    generator behind the giant-cloud tools and bench.py's big-path leg."""
+    rng = np.random.RandomState(seed)
+    per_room = 250_000
+    n_rooms = max(1, n_points // per_room)
+    side = int(np.ceil(np.sqrt(n_rooms)))
+    parts = []
+    for r in range(n_rooms):
+        xyz, _, _, _ = synthetic_room(
+            rng, n_points=min(per_room, n_points - r * per_room)
+        )
+        off = np.array(
+            [(r % side) * 4.5, (r // side) * 3.5, 0.0], np.float32
+        )
+        parts.append(xyz + off)
+    return np.concatenate(parts).astype(np.float32)

@@ -140,46 +140,3 @@ def eigvals3x3_cols(a00, a11, a22, a01, a02, a12):
     lam1 = jnp.where(is_diag, dmid, lam1)
     lam2 = jnp.where(is_diag, dmin, lam2)
     return lam0, lam1, lam2
-
-
-def eig3x3_cols(a00, a11, a22, a01, a02, a12):
-    """Eigenvalues (descending) AND unit eigenvector components of symmetric
-    3x3 matrices given as six 1-D coefficient columns — nothing of rank > 1
-    is ever materialized (a [N, 3, 3] tensor is tiled to [N, 8, 128] on TPU,
-    128x the payload; see eigvals3x3_cols).
-
-    Returns (lams, vecs): lams = (lam0, lam1, lam2) columns; vecs[i] =
-    (vx, vy, vz) unit-eigenvector columns for lam_i (cross-product of the
-    two most independent rows of A - lam I, e_z fallback when isotropic —
-    the same rules as `_eigvec`)."""
-    lams = eigvals3x3_cols(a00, a11, a22, a01, a02, a12)
-
-    def vec(lam):
-        b00 = a00 - lam
-        b11 = a11 - lam
-        b22 = a22 - lam
-        cands = (
-            (a01 * a12 - a02 * b11, a02 * a01 - b00 * a12,
-             b00 * b11 - a01 * a01),
-            (a01 * b22 - a02 * a12, a02 * a02 - b00 * b22,
-             b00 * a12 - a01 * a02),
-            (b11 * b22 - a12 * a12, a12 * a02 - a01 * b22,
-             a01 * a12 - b11 * a02),
-        )
-        norms = [cx * cx + cy * cy + cz * cz for cx, cy, cz in cands]
-        best01 = norms[0] >= norms[1]
-        n_best = jnp.where(best01, norms[0], norms[1])
-        comps = []
-        for a in range(3):
-            c = jnp.where(best01, cands[0][a], cands[1][a])
-            c = jnp.where(norms[2] > n_best, cands[2][a], c)
-            comps.append(c)
-        n2 = jnp.maximum(n_best, norms[2])
-        inv = jax.lax.rsqrt(jnp.maximum(n2, _EPS))
-        ok = n2 > _EPS
-        vx = jnp.where(ok, comps[0] * inv, 0.0)
-        vy = jnp.where(ok, comps[1] * inv, 0.0)
-        vz = jnp.where(ok, comps[2] * inv, 1.0)
-        return vx, vy, vz
-
-    return lams, tuple(vec(lam) for lam in lams)

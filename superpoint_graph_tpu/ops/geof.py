@@ -82,58 +82,6 @@ def compute_geof_rows(
     )
 
 
-@jax.jit
-def compute_geof_rows_cols(
-    xyz_full: jax.Array, xyz_rows: jax.Array, neighbors_rows: jax.Array
-) -> jax.Array:
-    """`compute_geof_rows` with a fully COLUMNAR layout: three [m, k]
-    per-axis gathers and six 1-D covariance columns instead of the rank-3
-    [m, k+1, 3] / [m, 3, 3] intermediates (trailing dims of 3 tile to 128
-    lanes on TPU — see eigen3.eigvals3x3_cols; measured 128x payload on the
-    SPG build). Same features to f32 tolerance; opt-in via
-    pipeline_big.GEOF_COLS until A/B'd on chip."""
-    from .eigen3 import eig3x3_cols
-
-    k = neighbors_rows.shape[1]
-    cols = [xyz_full[:, a][neighbors_rows] for a in range(3)]  # 3x [m, k]
-    selfs = [xyz_rows[:, a] for a in range(3)]
-    inv_kp1 = jnp.float32(1.0 / (k + 1))
-    means = [
-        (jnp.sum(cols[a], axis=1) + selfs[a]) * inv_kp1 for a in range(3)
-    ]
-    cen = [cols[a] - means[a][:, None] for a in range(3)]
-    cself = [selfs[a] - means[a] for a in range(3)]
-
-    def cov(a, b):
-        return (
-            jnp.sum(cen[a] * cen[b], axis=1) + cself[a] * cself[b]
-        ) * inv_kp1
-
-    (lam0, lam1, lam2), vecs = eig3x3_cols(
-        cov(0, 0), cov(1, 1), cov(2, 2), cov(0, 1), cov(0, 2), cov(1, 2)
-    )
-    lam0 = jnp.maximum(lam0, 0.0)
-    lam1 = jnp.maximum(lam1, 0.0)
-    lam2 = jnp.maximum(lam2, 0.0)
-    s0 = jnp.sqrt(lam0 + _EPS)
-    s1 = jnp.sqrt(lam1)
-    s2 = jnp.sqrt(lam2)
-    linearity = (s0 - s1) / s0
-    planarity = (s1 - s2) / s0
-    scattering = s2 / s0
-    lams = (lam0, lam1, lam2)
-    unary = [
-        sum(lams[i] * jnp.abs(vecs[i][a]) for i in range(3)) for a in range(3)
-    ]
-    norm = jnp.sqrt(
-        unary[0] ** 2 + unary[1] ** 2 + unary[2] ** 2 + _EPS
-    )
-    verticality = unary[2] / norm
-    return jnp.stack(
-        [linearity, planarity, scattering, verticality], axis=-1
-    ).astype(jnp.float32)
-
-
 def compute_geof_numpy(xyz, neighbors):
     """NumPy oracle mirroring the reference kernel exactly (for golden tests)."""
     import numpy as np

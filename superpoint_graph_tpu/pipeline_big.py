@@ -37,7 +37,7 @@ from .ops.cutpursuit_band import (
     _prep_band_chunk, _solve_band, cutpursuit_band, morton_order,
     morton_perm_device,
 )
-from .ops.geof import compute_geof_rows, compute_geof_rows_cols
+from .ops.geof import compute_geof_rows
 from .ops.knn import knn_bigcloud
 from .ops.merge_device import LAST_MERGE_STATS, merge_regions_device
 
@@ -50,12 +50,9 @@ LAST_CP_STATS: dict = {}
 # (n_pad 2^20 -> band 5.4 GB bf16 + w_intra 5.4 + same_band 2.7): chunk
 CHUNKED_CP_THRESHOLD = 1 << 19
 
-# SPGT_GEOF_COLS=1 switches the giant path's geof to the columnar kernel
-# (no rank-3 intermediates; see ops/geof.compute_geof_rows_cols) — opt-in
-# until A/B'd against the fused rank-3 form on the real chip
-import os as _os
-
-GEOF_COLS = _os.environ.get("SPGT_GEOF_COLS", "0") == "1"
+# (a columnar SPGT_GEOF_COLS geof variant existed through round 3; the
+# on-chip A/B showed it 3.4x slower AND numerically divergent at
+# eigen-degenerate neighborhoods — removed, tools/geof_ab_results.json)
 
 
 def chunked_cutpursuit(
@@ -351,10 +348,9 @@ def partition_cloud_big(
                 pass
 
     xyz_dev = jnp.asarray(xyz)
-    geof_fn = compute_geof_rows_cols if GEOF_COLS else compute_geof_rows
     geof_parts = [
-        geof_fn(xyz_dev, xyz_dev[s : min(n, s + geof_chunk)],
-                bi[s : min(n, s + geof_chunk)])
+        compute_geof_rows(xyz_dev, xyz_dev[s : min(n, s + geof_chunk)],
+                          bi[s : min(n, s + geof_chunk)])
         for s in range(0, n, geof_chunk)
     ]
     geof_dev = geof_parts[0] if len(geof_parts) == 1 else jnp.concatenate(
@@ -390,7 +386,16 @@ def partition_cloud_big(
         # the partition stage at 2e6 on the 1-core box); int32->uint32 is a
         # free view (kNN ids are non-negative)
         src = np.repeat(np.arange(n, dtype=np.uint32), cfg.k_nn_adj)
-        tgt = np.ascontiguousarray(idx_adj).view(np.uint32).reshape(-1)
+        # the free .view() reinterpretation is only valid for int32 input; a
+        # dtype drift upstream (x64, a different kNN return dtype) would
+        # silently interleave garbage through view+reshape
+        idx_adj = np.ascontiguousarray(idx_adj)
+        if idx_adj.dtype == np.int32:
+            tgt = idx_adj.view(np.uint32).reshape(-1)
+        else:
+            tgt = idx_adj.astype(np.uint32).reshape(-1)
+        if dist.dtype != np.float32:
+            dist = dist.astype(np.float32)
         distances = dist.reshape(-1)
     else:
         src = tgt = None

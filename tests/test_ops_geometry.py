@@ -204,59 +204,3 @@ class TestVoxelPrune:
             xyz, 0.1, np.zeros((n, 3), np.uint8), None, None, 0, 0
         )
         assert len(px) == expected
-
-
-class TestGeofColumnar:
-    """compute_geof_rows_cols (no rank-3 intermediates) must match the fused
-    rank-3 kernel and the numpy oracle."""
-
-    def test_matches_rows_kernel(self):
-        import jax.numpy as jnp
-
-        from superpoint_graph_tpu.ops import geof
-
-        rs = np.random.RandomState(7)
-        xyz = rs.randn(600, 3).astype(np.float32)
-        xyz[:200, 2] *= 0.01          # planar patch
-        xyz[200:400, 1:] *= 0.01      # linear patch
-        k = 12
-        d2 = ((xyz[:, None, :] - xyz[None, :, :]) ** 2).sum(-1)
-        np.fill_diagonal(d2, np.inf)
-        nbrs = np.argsort(d2, axis=1)[:, :k].astype(np.int32)
-        a = np.asarray(
-            geof.compute_geof_rows(
-                jnp.asarray(xyz), jnp.asarray(xyz), jnp.asarray(nbrs)
-            )
-        )
-        b = np.asarray(
-            geof.compute_geof_rows_cols(
-                jnp.asarray(xyz), jnp.asarray(xyz), jnp.asarray(nbrs)
-            )
-        )
-        np.testing.assert_allclose(a, b, atol=2e-4)
-        want = geof.compute_geof_numpy(xyz, nbrs)
-        np.testing.assert_allclose(b, want, atol=5e-3)
-
-    def test_row_slice_consistency(self):
-        import jax.numpy as jnp
-
-        from superpoint_graph_tpu.ops import geof
-
-        rs = np.random.RandomState(8)
-        xyz = rs.rand(300, 3).astype(np.float32)
-        k = 8
-        d2 = ((xyz[:, None, :] - xyz[None, :, :]) ** 2).sum(-1)
-        np.fill_diagonal(d2, np.inf)
-        nbrs = np.argsort(d2, axis=1)[:, :k].astype(np.int32)
-        full = np.asarray(
-            geof.compute_geof_rows_cols(
-                jnp.asarray(xyz), jnp.asarray(xyz), jnp.asarray(nbrs)
-            )
-        )
-        part = np.asarray(
-            geof.compute_geof_rows_cols(
-                jnp.asarray(xyz), jnp.asarray(xyz[100:200]),
-                jnp.asarray(nbrs[100:200]),
-            )
-        )
-        np.testing.assert_allclose(full[100:200], part, atol=1e-6)

@@ -1,0 +1,113 @@
+"""Attribute `_solve_band` time at chunk scale (n_pad 2^19) on the real TPU.
+
+The judge's round-3 top item: the band cut-pursuit solve is 17.4 s of the
+63.9 s warm 2e6 partition at 0.02% MFU — before fusing anything into Pallas,
+measure WHERE the solver's time goes. Strategy: time the full solve, then
+variants with one knob turned down (fewer CC sweeps / ICM sweeps / power
+iters / flow steps); the deltas attribute stage shares. Each variant is its
+own executable (static args), so this pays ~5 compiles — run once, read
+tools/band_profile_results.json.
+
+Usage (real TPU):  python tools/band_profile.py [--n 450000]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bigcloud_knn import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=450_000)
+    ap.add_argument("--k_geof", type=int, default=45)
+    ap.add_argument("--k_adj", type=int, default=10)
+    ap.add_argument("--reg", type=float, default=0.1)
+    ap.add_argument("--best_of", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from superpoint_graph_tpu.data.synthetic import big_scene
+    from superpoint_graph_tpu.ops import cutpursuit_band as cpb
+    from superpoint_graph_tpu.ops.geof import compute_geof_rows
+    from superpoint_graph_tpu.ops.knn import knn_bigcloud
+    from superpoint_graph_tpu.pipeline import _assemble_features_device
+
+    xyz = big_scene(args.n)
+    n = len(xyz)
+    print(f"scene n={n}", flush=True)
+
+    t0 = time.perf_counter()
+    bi, bd2, _ = knn_bigcloud(xyz, args.k_geof)
+    idx_adj = bi[:, : args.k_adj]
+    d2_adj = bd2[:, : args.k_adj]
+    xyz_dev = jnp.asarray(xyz)
+    geof_dev = compute_geof_rows(xyz_dev, xyz_dev, bi)
+    rgb = jnp.asarray(np.full((n, 3), 127, np.uint8))
+    f_dev = _assemble_features_device(geof_dev, rgb)
+    float(jnp.sum(f_dev[:4, 0]))
+    print(f"knn+geof {time.perf_counter()-t0:.1f}s", flush=True)
+
+    # pad the feature/adjacency tables to the band bucket like the chunked
+    # driver does (powers of two of blocks)
+    from superpoint_graph_tpu.ops.cutpursuit_band import B
+
+    nb = -(-n // B)
+    nb_pad = 1 << int(np.ceil(np.log2(max(nb, 2))))
+    n_pad = nb_pad * B
+    f_dev = jnp.pad(f_dev, ((0, n_pad - n), (0, 0)))
+    idx_adj = jnp.pad(idx_adj, ((0, n_pad - n), (0, 0)))
+    d2_adj = jnp.pad(d2_adj, ((0, n_pad - n), (0, 0)))
+    print(f"n_pad={n_pad}", flush=True)
+
+    variants = {
+        "base": {},
+        "cc_sweeps_1": dict(cc_sweeps_per_round=1),
+        "icm_sweeps_1": dict(icm_sweeps=1),
+        "power_iters_2": dict(power_iters=2),
+        "flow_steps_1": dict(flow_steps=1),
+        "max_iter_1": dict(max_iter=1),
+    }
+    results = {"n": n, "n_pad": int(n_pad)}
+    for name, kw in variants.items():
+        # warm (compile)
+        t0 = time.perf_counter()
+        comp = cpb.cutpursuit_band_device(
+            f_dev, idx_adj, d2_adj, xyz, n, args.reg, **kw
+        )
+        t_cold = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(args.best_of):
+            t0 = time.perf_counter()
+            comp = cpb.cutpursuit_band_device(
+                f_dev, idx_adj, d2_adj, xyz, n, args.reg, **kw
+            )
+            best = min(best, time.perf_counter() - t0)
+        st = dict(cpb.LAST_SOLVE_STATS)
+        results[name] = {
+            "warm_sec": round(best, 3),
+            "cold_sec": round(t_cold, 1),
+            "outer_iters": st.get("iters"),
+            "ncomp": int(comp.max()) + 1,
+        }
+        print(name, results[name], flush=True)
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "band_profile_results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

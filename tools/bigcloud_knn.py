@@ -38,24 +38,9 @@ def enable_compile_cache():
 enable_compile_cache()
 
 
-def big_scene(n_points: int, seed: int = 0) -> np.ndarray:
-    """Tiled multi-room indoor scene, ~n_points total."""
-    from superpoint_graph_tpu.data.synthetic import synthetic_room
-
-    rng = np.random.RandomState(seed)
-    per_room = 250_000
-    n_rooms = max(1, n_points // per_room)
-    side = int(np.ceil(np.sqrt(n_rooms)))
-    parts = []
-    for r in range(n_rooms):
-        xyz, _, _, _ = synthetic_room(
-            rng, n_points=min(per_room, n_points - r * per_room)
-        )
-        off = np.array(
-            [(r % side) * 4.5, (r // side) * 3.5, 0.0], np.float32
-        )
-        parts.append(xyz + off)
-    return np.concatenate(parts).astype(np.float32)
+# shared generator (moved into the package so bench.py's big-path leg can
+# use the identical scene)
+from superpoint_graph_tpu.data.synthetic import big_scene  # noqa: E402,F401
 
 
 def sampled_exact(xyz: np.ndarray, k: int, sample: int, seed: int = 1):
