@@ -217,15 +217,20 @@ def build_eval_batches(results, tmpdir):
             spg_io.spg_reader(spg_file, edge_attribs, incl_dir_in_name=True)
         )
     scaler = spg_io.EdgeFeatScaler().fit(entries)
-    batches = []
+    batches, samples = [], []
     for i, e in enumerate(entries):
         e = (e[0], e[1], e[2], scaler.transform(e[3]), e[4])
         s = load_spg_sample(
             e, os.path.join(tmpdir, "parsed", "Area_1", f"room_{i}.h5"),
             cfg, train=False,
         )
+        samples.append(s)
         batches.append(collate_spg([s], cfg, 13, n_ch))
-    return batches
+    # one multi-room batch (reference trains batched, main.py:40 batch_size 2
+    # default): 4 full rooms per step for the batched-training MFU leg
+    reps = -(-4 // len(samples))
+    batch4 = collate_spg((samples * reps)[:4], cfg, 13, n_ch)
+    return batches, batch4
 
 
 def tpu_inference(batches):
@@ -257,10 +262,13 @@ def tpu_inference(batches):
     return best, flops / len(batches)
 
 
-def tpu_train(batches):
+def tpu_train(batches, batch4=None):
     """Steady-state train-step throughput on the flagship config — the
-    reference's other headline loop (main.py:176-226). Returns
-    (steps/sec best-of-N, flops/step from XLA cost analysis)."""
+    reference's other headline loop (main.py:176-226). Measures single-room
+    steps (batch 1, the eval-batch shapes) and, when `batch4` is given, one
+    4-room batch per step (the reference's documented batched training,
+    main.py:40). Returns (steps/sec b1, flops/step b1, steps/sec b4,
+    flops/step b4)."""
     import jax
     import jax.numpy as jnp
 
@@ -285,7 +293,22 @@ def tpu_train(batches):
                 state, loss, _ = trainer.train_step(state, b, rng)
         float(loss)  # tunnel-safe sync
         best = min(best, (time.perf_counter() - t0) / (len(batches) * reps))
-    return 1.0 / best, flops / len(batches)
+    if batch4 is None:
+        return 1.0 / best, flops / len(batches), float("nan"), float("nan")
+
+    state4 = trainer.init(jax.random.PRNGKey(0), batch4)
+    state4, loss4, _ = trainer.train_step(state4, batch4, rng)
+    ca4 = trainer._train_step.lower(state4, batch4, rng).compile()
+    ca4 = ca4.cost_analysis()
+    flops4 = float((ca4[0] if isinstance(ca4, list) else ca4)["flops"])
+    best4 = float("inf")
+    for _ in range(N_BEST):
+        t0 = time.perf_counter()
+        for _ in range(3 * reps):
+            state4, loss4, _ = trainer.train_step(state4, batch4, rng)
+        float(loss4)
+        best4 = min(best4, (time.perf_counter() - t0) / (3 * reps))
+    return 1.0 / best, flops / len(batches), 1.0 / best4, flops4
 
 
 def host_partition(xyz, rgb, cfg):
@@ -431,9 +454,9 @@ def main():
 
     t_part, results = tpu_partition(clouds, cfg)
     tmpdir = tempfile.mkdtemp(prefix="spgt_bench_")
-    batches = build_eval_batches(results[: N_REPEATS], tmpdir)
+    batches, batch4 = build_eval_batches(results[: N_REPEATS], tmpdir)
     t_inf, flops_inf = tpu_inference(batches)
-    steps_per_sec, flops_train = tpu_train(batches)
+    steps_per_sec, flops_train, steps4, flops4 = tpu_train(batches, batch4)
     roof = tpu_stage_roofline(clouds[0], cfg)
     kind, peak_flops, peak_bw = device_peaks()
 
@@ -487,6 +510,9 @@ def main():
                 "mfu_inference": round(flops_inf / t_inf / peak_flops, 4),
                 "mfu_train": round(flops_train / (1.0 / steps_per_sec)
                                    / peak_flops, 4),
+                # 4-room batched training (reference main.py:40 batch mode)
+                "train_b4_steps_per_sec": round(steps4, 3),
+                "mfu_train_b4": round(flops4 * steps4 / peak_flops, 4),
                 "t_knn_sec": round(roof["t_knn"], 4),
                 "t_cp_sec": round(roof["t_cp"], 4),
                 "cp_outer_iters": roof["cp_outer_iters"],

@@ -153,17 +153,33 @@ def big_scene(n_points: int, seed: int = 0) -> np.ndarray:
     """Semantic3D-scale synthetic scan: a grid of `synthetic_room` tiles
     (surface geometry, non-uniform density), ~n_points total. The shared
     generator behind the giant-cloud tools and bench.py's big-path leg."""
+    xyz, _, _ = big_scene_labeled(n_points, seed)
+    return xyz
+
+
+def big_scene_labeled(n_points: int, seed: int = 0):
+    """`big_scene` with per-point semantic labels and GLOBAL instance ids
+    (object ids offset per room tile) — the ground truth the at-scale
+    partition-quality receipts (OOA/BR/BP) need."""
     rng = np.random.RandomState(seed)
     per_room = 250_000
     n_rooms = max(1, n_points // per_room)
     side = int(np.ceil(np.sqrt(n_rooms)))
-    parts = []
+    parts, labs, objs = [], [], []
+    obj_base = 0
     for r in range(n_rooms):
-        xyz, _, _, _ = synthetic_room(
+        xyz, _, lab, obj = synthetic_room(
             rng, n_points=min(per_room, n_points - r * per_room)
         )
         off = np.array(
             [(r % side) * 4.5, (r // side) * 3.5, 0.0], np.float32
         )
         parts.append(xyz + off)
-    return np.concatenate(parts).astype(np.float32)
+        labs.append(lab)
+        objs.append(obj + obj_base)
+        obj_base += int(obj.max()) + 1
+    return (
+        np.concatenate(parts).astype(np.float32),
+        np.concatenate(labs).astype(np.int32),
+        np.concatenate(objs).astype(np.int32),
+    )

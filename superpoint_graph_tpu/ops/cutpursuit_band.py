@@ -28,8 +28,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-B = 512          # block row size
-HALO = 2         # window = (2*HALO + 1) blocks
+# Block geometry: B = 1024 with a 1-block halo. 1024 is the Mosaic dynamic-
+# slice alignment quantum (one (8, 128) int32 tile), so every block row's
+# window start (q*B - B) is a legal dynamic VMEM offset — the Pallas fused
+# sweeps (ops/band_pallas.py) slice label/spin vectors resident in VMEM with
+# no pair-shifted relayouts. Per-sweep propagation reach (HALO*B = 1024 rows)
+# and the guaranteed two-sided in-band reach (>= 1024 rows) are identical to
+# the round-2/3 geometry (B=512, HALO=2); the window is 3072 wide vs 2560
+# (1.2x band bytes) with correspondingly fewer overflow edges.
+B = 1024         # block row size
+HALO = 1         # window = (2*HALO + 1) blocks
 WIN = (2 * HALO + 1) * B
 BIG = jnp.int32(2**30)
 
@@ -173,7 +181,7 @@ def _seg_mean(data, seg, n, weights):
     jax.jit,
     static_argnames=(
         "max_iter", "icm_sweeps", "flow_steps", "power_iters", "cc_rounds",
-        "cc_sweeps_per_round", "use_pallas_cc",
+        "cc_sweeps_per_round", "use_pallas",
     ),
 )
 def _solve_band(
@@ -192,8 +200,17 @@ def _solve_band(
     power_iters: int = 8,
     cc_rounds: int = 16,
     cc_sweeps_per_round: int = 4,
-    use_pallas_cc: bool = False,  # measured a wash on v5e (see cc_pallas.py)
+    use_pallas: bool | None = None,
 ):
+    # The fused Pallas sweeps currently LOSE to the XLA slice-and-select
+    # form at chunk scale (tools/band_profile_results.json @ 2^19: warm
+    # 4.94 s vs 4.04 s, cold 33.8 s vs 5.7 s — the GS kernel is VPU-bound on
+    # dense [B, B] tiles at ~0.7% edge occupancy). Default stays off until a
+    # measured win; use_pallas=True opts in (interpret mode off-TPU).
+    if use_pallas is None:
+        use_pallas = False
+    # explicit use_pallas=True off-TPU runs the kernels interpreted (tests)
+    pallas_interpret = bool(use_pallas) and jax.default_backend() != "tpu"
     n, d = f.shape
     nb = n // B
     iota = jnp.arange(n, dtype=jnp.int32)
@@ -203,6 +220,13 @@ def _solve_band(
     # labels agree 0.9999 with the f32 band on the 60k bench room) — all
     # reductions over it accumulate in f32
     band_w = band_w.astype(jnp.bfloat16)
+    if use_pallas:
+        # int8 adjacency for the CC sweeps: half the bytes of the bf16 band
+        # per sweep, and loop-invariant (the (comp, b) mask is computed
+        # in-register by the kernel) — built ONCE per solve
+        from .band_pallas import band_adjacency_i8
+
+        adj8_pallas = band_adjacency_i8(band_w)
 
     def energy_of(comp, mean):
         fid = jnp.sum(nw * jnp.sum((f - mean[comp]) ** 2, axis=1))
@@ -228,31 +252,37 @@ def _solve_band(
     def cc_full(comp, b):
         """Connected components of the same-(comp, b) graph: banded
         min-propagation rounds + overflow hook + pointer jumping, run until a
-        full round changes nothing."""
-        compw = band_windows(comp, jnp.int32(-1))
-        bw = band_windows(b.astype(jnp.int8), jnp.int8(-1))
-        comp2 = comp.reshape(nb, B)[:, :, None]
-        b2 = b.astype(jnp.int8).reshape(nb, B)[:, :, None]
-        same_band = band_adj & (compw[:, None, :] == comp2) & (
-            bw[:, None, :] == b2
-        )
+        full round changes nothing. On TPU the in-round propagation is the
+        fused Gauss-Seidel Pallas kernel (ops/band_pallas.py): labels stay in
+        VMEM across the pass and one forward+backward sweep pair crosses the
+        whole band, so the round count (and with it the overflow-hook segment
+        ops, pointer jumps and loop-carry overhead that profiling showed
+        dominate) collapses."""
         of_same = (comp[of_src] == comp[of_tgt]) & (b[of_src] == b[of_tgt]) & (
             of_w > 0.0
         )
-        if use_pallas_cc:
-            from .cc_pallas import _pair_mask
+        if use_pallas:
+            from .band_pallas import cc_sweeps_pallas
 
-            pm = _pair_mask(same_band)  # loop-invariant: built once per CC
+            # (component, split side) fused into one comparison key
+            key = comp * 2 + b.astype(jnp.int32)
+            adj8 = adj8_pallas  # built once per solve (loop-invariant)
+        else:
+            compw = band_windows(comp, jnp.int32(-1))
+            bw = band_windows(b.astype(jnp.int8), jnp.int8(-1))
+            comp2 = comp.reshape(nb, B)[:, :, None]
+            b2 = b.astype(jnp.int8).reshape(nb, B)[:, :, None]
+            same_band = band_adj & (compw[:, None, :] == comp2) & (
+                bw[:, None, :] == b2
+            )
 
         def round_body(state):
             lab, _, i = state
-            if use_pallas_cc:
-                # Gauss-Seidel sweeps with the label vector resident in VMEM
-                # (ops/cc_pallas.py) — 2 alternating passes propagate minima
-                # across the whole band, vs HALO blocks per Jacobi sweep
-                from .cc_pallas import cc_band_sweeps_gs
-
-                new = cc_band_sweeps_gs(lab, pm, cc_sweeps_per_round)
+            if use_pallas:
+                new = cc_sweeps_pallas(
+                    lab, adj8, key, cc_sweeps_per_round,
+                    interpret=pallas_interpret,
+                )
             else:
                 new = cc_band_sweeps(lab, same_band, cc_sweeps_per_round)
             # overflow hook: relax out-of-band edges exactly
@@ -271,10 +301,10 @@ def _solve_band(
             return state[1] & (state[2] < cc_rounds)
 
         lab0, _, _ = round_body((iota, jnp.bool_(True), jnp.int32(0)))
-        lab, _, _ = jax.lax.while_loop(
+        lab, _, rounds = jax.lax.while_loop(
             round_cond, round_body, (lab0, jnp.bool_(True), jnp.int32(1))
         )
-        return lab
+        return lab, rounds
 
     def split_once(comp, saturated, mean, it):
         steps_now = jnp.maximum(
@@ -298,15 +328,17 @@ def _solve_band(
         b = jnp.sum(resid * v[comp], axis=1) > 0
         b = jnp.where(saturated[comp], False, b)
 
-        # intra-region weighted band, materialized once per outer iteration
-        # (bf16 — read once per ICM sweep, the hot array of the solver)
-        compw = band_windows(comp, jnp.int32(-1))
-        w_intra = jnp.where(
-            band_adj
-            & (compw[:, None, :] == comp.reshape(nb, B)[:, :, None]),
-            band_w,
-            jnp.bfloat16(0.0),
-        )
+        # intra-region weighted band. Pallas path: never materialized — the
+        # kernel masks the band tile in-register per sweep (the XLA path
+        # writes + re-reads a band-sized array here every outer iteration)
+        if not use_pallas:
+            compw = band_windows(comp, jnp.int32(-1))
+            w_intra = jnp.where(
+                band_adj
+                & (compw[:, None, :] == comp.reshape(nb, B)[:, :, None]),
+                band_w,
+                jnp.bfloat16(0.0),
+            )
         of_intra_w = jnp.where(comp[of_src] == comp[of_tgt], of_w, 0.0)
 
         for k in range(flow_steps):
@@ -323,19 +355,27 @@ def _solve_band(
             )
             for s in range(2 * icm_sweeps):
                 # +-1/0 spin vector is exact in bf16 -> native MXU bf16 pass
-                bw = band_windows(
-                    jnp.bfloat16(1.0) - jnp.bfloat16(2.0)
-                    * b.astype(jnp.bfloat16),
-                    jnp.bfloat16(0.0),
+                spin = jnp.bfloat16(1.0) - jnp.bfloat16(2.0) * b.astype(
+                    jnp.bfloat16
                 )
-                # batched matvec: the MXU reads w_intra once per sweep with no
-                # materialized [NB, B, WIN] broadcast product
-                band_field = jnp.einsum(
-                    "pbw,pw->pb", w_intra, bw,
-                    preferred_element_type=jnp.float32,
-                )
+                if use_pallas:
+                    # fused masked matvec (ops/band_pallas.py): band read
+                    # once, component mask computed in-register
+                    from .band_pallas import icm_field_pallas
+
+                    band_field = icm_field_pallas(
+                        band_w, comp, spin, interpret=pallas_interpret
+                    )
+                else:
+                    bw = band_windows(spin, jnp.bfloat16(0.0))
+                    # batched matvec: the MXU reads w_intra once per sweep
+                    # with no materialized [NB, B, WIN] broadcast product
+                    band_field = jnp.einsum(
+                        "pbw,pw->pb", w_intra, bw,
+                        preferred_element_type=jnp.float32,
+                    ).reshape(-1)
                 field = reg * (
-                    band_field.reshape(-1)
+                    band_field
                     + jax.ops.segment_sum(
                         of_intra_w * (1.0 - 2.0 * b[of_tgt].astype(f.dtype)),
                         of_src,
@@ -349,10 +389,10 @@ def _solve_band(
         return jnp.where(saturated[comp], False, b)
 
     def body(state):
-        comp, saturated, energy, it, _ = state
+        comp, saturated, energy, it, _, ccr = state
         mean = means_of(comp)
         b = split_once(comp, saturated, mean, it)
-        new_comp = cc_full(comp, b)
+        new_comp, rounds = cc_full(comp, b)
         new_energy = energy_of(new_comp, means_of(new_comp))
         improved = new_energy < energy - 1e-6 * jnp.maximum(
             jnp.abs(energy), 1.0
@@ -366,16 +406,19 @@ def _solve_band(
         comp_out = jnp.where(improved, new_comp, comp)
         sat_out = jnp.where(improved, sat_flag, saturated)
         e_out = jnp.where(improved, new_energy, energy)
-        return comp_out, sat_out, e_out, it + 1, improved
+        return comp_out, sat_out, e_out, it + 1, improved, ccr + rounds
 
     def cond(state):
         return (state[3] < max_iter) & state[4]
 
     comp0 = jnp.zeros(n, jnp.int32)
     energy0 = energy_of(comp0, means_of(comp0))
-    state = (comp0, jnp.zeros(n, bool), energy0, jnp.int32(0), jnp.bool_(True))
-    comp, saturated, energy, it, _ = jax.lax.while_loop(cond, body, state)
-    return comp, energy, it
+    state = (
+        comp0, jnp.zeros(n, bool), energy0, jnp.int32(0), jnp.bool_(True),
+        jnp.int32(0),
+    )
+    comp, saturated, energy, it, _, ccr = jax.lax.while_loop(cond, body, state)
+    return comp, energy, it, ccr
 
 
 # ---------------------------------------------------------------------------
@@ -574,14 +617,14 @@ def cutpursuit_band_device(
         of_src, of_tgt, of_w = (
             of_src[:cap2], of_tgt[:cap2], of_w[:cap2]
         )
-    comp, _, iters = _solve_band(
+    comp, _, iters, ccr = _solve_band(
         f_p, band_w, of_src, of_tgt, of_w, nw,
         jnp.float32(reg_strength), jnp.float32(weight_decay), **solver_kw,
     )
     comp_h = np.asarray(comp)
     LAST_SOLVE_STATS.update(
         n_pad=int(n_pad), win=WIN, d=int(f_p.shape[1]),
-        iters=int(jax.device_get(iters)),
+        iters=int(jax.device_get(iters)), cc_rounds=int(jax.device_get(ccr)),
     )
     comp_h = comp_h[inv[:n]]  # back to original order
     _, first_pos, invc = np.unique(
@@ -695,7 +738,7 @@ def cutpursuit_band(
     band_w = _build_band(
         n_pad, jnp.asarray(row_p), jnp.asarray(col_p), jnp.asarray(flat_w_p)
     )
-    comp, _, iters = _solve_band(
+    comp, _, iters, ccr = _solve_band(
         jnp.asarray(f_p),
         band_w,
         jnp.asarray(of_src_p),
@@ -709,7 +752,7 @@ def cutpursuit_band(
     comp = np.asarray(comp)[:n][inv]  # back to original vertex order
     LAST_SOLVE_STATS.update(
         n_pad=int(n_pad), win=WIN, d=int(f.shape[1]),
-        iters=int(jax.device_get(iters)),
+        iters=int(jax.device_get(iters)), cc_rounds=int(jax.device_get(ccr)),
     )
 
     _, first_pos, invc = np.unique(comp, return_index=True, return_inverse=True)

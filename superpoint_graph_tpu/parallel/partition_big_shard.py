@@ -174,7 +174,7 @@ def chunked_cutpursuit_sharded(
                 jnp.float32(dmean), jnp.float32(lambda_edge_weight),
                 chunk_pad=chunk_pad, of_cap=of_cap, k_adj=k_adj,
             )
-            comp, _, _ = _solve_band(
+            comp, _, _, _ = _solve_band(
                 f_rows, band_w, of_s, of_t, of_w, nw,
                 jnp.float32(reg_strength), jnp.float32(weight_decay),
                 **solver_kw,

@@ -233,7 +233,7 @@ def chunked_cutpursuit_device(
             of_src, of_tgt, of_w = of_src[:cap2], of_tgt[:cap2], of_w[:cap2]
         t_p = time.perf_counter()
         t_prep += t_p - t0
-        comp, _, _ = _solve_band(
+        comp, _, _, _ = _solve_band(
             f_rows, band_w, of_src, of_tgt, of_w, nw,
             jnp.float32(reg_strength), jnp.float32(weight_decay), **solver_kw,
         )

@@ -71,10 +71,11 @@ def main():
     print(f"n_pad={n_pad}", flush=True)
 
     variants = {
-        "base": {},
-        "cc_sweeps_1": dict(cc_sweeps_per_round=1),
+        "base": {},                      # Pallas fused sweeps (TPU default)
+        "xla": dict(use_pallas=False),   # round-3 XLA slice-and-select form
+        "cc_rounds_2": dict(cc_rounds=2),
+        "cc_heavy_sweeps": dict(cc_rounds=4, cc_sweeps_per_round=16),
         "icm_sweeps_1": dict(icm_sweeps=1),
-        "power_iters_2": dict(power_iters=2),
         "flow_steps_1": dict(flow_steps=1),
         "max_iter_1": dict(max_iter=1),
     }
@@ -98,6 +99,7 @@ def main():
             "warm_sec": round(best, 3),
             "cold_sec": round(t_cold, 1),
             "outer_iters": st.get("iters"),
+            "cc_rounds": st.get("cc_rounds"),
             "ncomp": int(comp.max()) + 1,
         }
         print(name, results[name], flush=True)
