@@ -22,23 +22,31 @@ call sites partition/partition.py:177, supervized_partition/losses.py:82).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Block geometry: B = 1024 with a 1-block halo. 1024 is the Mosaic dynamic-
-# slice alignment quantum (one (8, 128) int32 tile), so every block row's
-# window start (q*B - B) is a legal dynamic VMEM offset — the Pallas fused
-# sweeps (ops/band_pallas.py) slice label/spin vectors resident in VMEM with
-# no pair-shifted relayouts. Per-sweep propagation reach (HALO*B = 1024 rows)
-# and the guaranteed two-sided in-band reach (>= 1024 rows) are identical to
-# the round-2/3 geometry (B=512, HALO=2); the window is 3072 wide vs 2560
-# (1.2x band bytes) with correspondingly fewer overflow edges.
-B = 1024         # block row size
-HALO = 1         # window = (2*HALO + 1) blocks
-WIN = (2 * HALO + 1) * B
+# Block geometry: block row p's window covers Morton columns
+# [p*B - PAD, p*B + B + PAD), i.e. WIN = B + 2*PAD. PAD (the guard width) is
+# DECOUPLED from the block size. Measured trade (tools/
+# band_geometry_ab_results.json, 500k voxels on chip): warm solve time is
+# FLAT across geometries (3.5-4.0 s from WIN 3072 down to 768 — the solve is
+# VPU/latency-bound on CC rounds, not band-bandwidth-bound), while band
+# memory scales with WIN (3.0 GB at the old square PAD = B = 1024 geometry
+# vs 1.0 GB at PAD = 256, same n). The narrow band is therefore chosen for
+# MEMORY: it lets the giant-path chunked solver run 2^20-point chunks
+# (band + adjacency + w_intra ~ 5 GB) that the square geometry could not
+# fit, halving chunk count / halo overhead / merge-heal work at >= 2e6.
+# Overflow stays modest (8.5% of edges at PAD = 256 vs 4.7% at the square
+# geometry; Morton locality per tools/band_locality_results.json). Every
+# sweep's window matrix is a concat of B-strided slices (no gathers at any
+# PAD).
+B = int(os.environ.get("SPGT_BAND_B", "512"))        # block row size
+PAD = int(os.environ.get("SPGT_BAND_PAD", "256"))    # guard cols each side
+WIN = B + 2 * PAD
 BIG = jnp.int32(2**30)
 
 # Observability for roofline accounting (bench.py): per solve, the wrapper
@@ -104,14 +112,17 @@ def split_band_edges(n_pad: int, src: np.ndarray, tgt: np.ndarray,
                      w: np.ndarray):
     """Split symmetrized directed edges into in-window and overflow.
 
-    For a directed edge (i -> j) the window test is
-    (p-HALO)*B <= j < (p+HALO+1)*B with p = i // B. Returns
-    (flat_idx_in_band, w_in_band, src_of, tgt_of, w_of); flat_idx indexes the
-    flattened [n_pad, WIN] band as i*WIN + (j - (i//B - HALO)*B)."""
-    p = src // B
-    c = tgt - (p - HALO) * B
-    inband = (c >= 0) & (c < WIN)
-    flat = src[inband].astype(np.int64) * WIN + c[inband]
+    A directed edge (i -> j) is in-band iff BOTH directions fall inside
+    their source's window (p*B - PAD <= other < p*B + B + PAD): the overflow
+    list then contains both directions of every overflow edge, so the CC
+    overflow hook needs only ONE one-sided segment_min instead of two.
+    Returns (flat_idx_in_band, w_in_band, src_of, tgt_of, w_of); flat_idx
+    indexes the flattened [n_pad, WIN] band as i*WIN + (j - (i//B)*B + PAD).
+    """
+    cs = tgt - (src // B) * B + PAD
+    ct = src - (tgt // B) * B + PAD
+    inband = (cs >= 0) & (cs < WIN) & (ct >= 0) & (ct < WIN)
+    flat = src[inband].astype(np.int64) * WIN + cs[inband]
     return (
         flat,
         w[inband].astype(np.float32),
@@ -126,25 +137,23 @@ def split_band_edges(n_pad: int, src: np.ndarray, tgt: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _windows(v2d_pad, fill):
-    """[NB + 2*HALO, B] padded block view -> [NB, WIN] sliding windows."""
-    nb = v2d_pad.shape[0] - 2 * HALO
-    parts = [v2d_pad[s : s + nb] for s in range(2 * HALO + 1)]
-    return jnp.concatenate(parts, axis=1)
-
-
-def _pad_blocks(v, fill):
-    """[n] -> [NB + 2*HALO, B] with `fill` ghost blocks top and bottom."""
-    nb = v.shape[0] // B
-    v2 = v.reshape(nb, B)
-    ghost = jnp.full((HALO, B), fill, v.dtype)
-    return jnp.concatenate([ghost, v2, ghost], axis=0)
-
-
 def band_windows(v, fill):
     """[n] vector -> [NB, WIN] window matrix (column c of block row p holds
-    v[(p-HALO)*B + c], ghost positions = fill)."""
-    return _windows(_pad_blocks(v, fill), fill)
+    v[p*B - PAD + c], out-of-range positions = fill).
+
+    Built as a concat of B-strided slices of the padded vector — gather-free
+    for ANY (B, PAD): part s (columns [s, s+B)) is v_pad[s : s+n] reshaped
+    to [NB, B]."""
+    n = v.shape[0]
+    nb = n // B
+    v_pad = jnp.concatenate([
+        jnp.full((PAD,), fill, v.dtype), v, jnp.full((B + PAD,), fill, v.dtype)
+    ])
+    parts = []
+    for s in range(0, WIN, B):
+        width = min(B, WIN - s)
+        parts.append(v_pad[s : s + n].reshape(nb, B)[:, :width])
+    return jnp.concatenate(parts, axis=1)
 
 
 def cc_band_sweeps(lab, same_band, n_sweeps: int):
@@ -156,6 +165,23 @@ def cc_band_sweeps(lab, same_band, n_sweeps: int):
     for _ in range(n_sweeps):
         labw = band_windows(lab, BIG)  # [NB, WIN]
         cand = jnp.where(same_band, labw[:, None, :], BIG)
+        lab = jnp.minimum(lab, jnp.min(cand, axis=2).reshape(-1))
+    return lab
+
+
+def cc_band_sweeps_key(lab, adj8, keyw, key2, n_sweeps: int):
+    """`n_sweeps` Jacobi min-propagation sweeps with the same-(comp, b) mask
+    fused into the sweep: per sweep the only band-sized read is the int8
+    adjacency (built once per SOLVE — vs `cc_band_sweeps`, which streams a
+    [NB, B, WIN] bool rebuilt per CC call). keyw = band_windows(key) and
+    key2 = key.reshape(nb, B)[:, :, None] are tiny loop-invariant windows;
+    the compare/select/min chain fuses into the adjacency read."""
+    nb = lab.shape[0] // B
+    for _ in range(n_sweeps):
+        labw = band_windows(lab, BIG)  # [NB, WIN]
+        cand = jnp.where(
+            (adj8 != 0) & (keyw[:, None, :] == key2), labw[:, None, :], BIG
+        )
         lab = jnp.minimum(lab, jnp.min(cand, axis=2).reshape(-1))
     return lab
 
@@ -181,7 +207,7 @@ def _seg_mean(data, seg, n, weights):
     jax.jit,
     static_argnames=(
         "max_iter", "icm_sweeps", "flow_steps", "power_iters", "cc_rounds",
-        "cc_sweeps_per_round", "use_pallas",
+        "cc_sweeps_per_round",
     ),
 )
 def _solve_band(
@@ -200,33 +226,25 @@ def _solve_band(
     power_iters: int = 8,
     cc_rounds: int = 16,
     cc_sweeps_per_round: int = 4,
-    use_pallas: bool | None = None,
 ):
-    # The fused Pallas sweeps currently LOSE to the XLA slice-and-select
-    # form at chunk scale (tools/band_profile_results.json @ 2^19: warm
-    # 4.94 s vs 4.04 s, cold 33.8 s vs 5.7 s — the GS kernel is VPU-bound on
-    # dense [B, B] tiles at ~0.7% edge occupancy). Default stays off until a
-    # measured win; use_pallas=True opts in (interpret mode off-TPU).
-    if use_pallas is None:
-        use_pallas = False
-    # explicit use_pallas=True off-TPU runs the kernels interpreted (tests)
-    pallas_interpret = bool(use_pallas) and jax.default_backend() != "tpu"
+    # (A fused Mosaic Gauss-Seidel CC + masked-matvec ICM variant was built
+    # and profiled in round 4 — it LOST to this XLA form at the square
+    # geometry (tools/band_profile_results.json: warm 4.94 s vs 4.04 s, cold
+    # 33.8 s vs 5.7 s at 2^19) and Mosaic's 1024-aligned dynamic-VMEM-slice
+    # constraint rules it out entirely at the narrow PAD geometry that wins;
+    # see git history for ops/band_pallas.py.)
     n, d = f.shape
     nb = n // B
     iota = jnp.arange(n, dtype=jnp.int32)
     parity = (iota % 2).astype(bool)
+    # the one materialized band-sized mask: adjacency (bool, 1 byte/slot) —
+    # every CC sweep reads THIS (plus tiny key windows) instead of a
+    # per-CC-call [NB, B, WIN] same-(comp, b) bool
     band_adj = band_w > 0.0
     # the [NB, B, WIN] band is stored bf16 (halves the dominant HBM traffic;
     # labels agree 0.9999 with the f32 band on the 60k bench room) — all
     # reductions over it accumulate in f32
     band_w = band_w.astype(jnp.bfloat16)
-    if use_pallas:
-        # int8 adjacency for the CC sweeps: half the bytes of the bf16 band
-        # per sweep, and loop-invariant (the (comp, b) mask is computed
-        # in-register by the kernel) — built ONCE per solve
-        from .band_pallas import band_adjacency_i8
-
-        adj8_pallas = band_adjacency_i8(band_w)
 
     def energy_of(comp, mean):
         fid = jnp.sum(nw * jnp.sum((f - mean[comp]) ** 2, axis=1))
@@ -252,47 +270,26 @@ def _solve_band(
     def cc_full(comp, b):
         """Connected components of the same-(comp, b) graph: banded
         min-propagation rounds + overflow hook + pointer jumping, run until a
-        full round changes nothing. On TPU the in-round propagation is the
-        fused Gauss-Seidel Pallas kernel (ops/band_pallas.py): labels stay in
-        VMEM across the pass and one forward+backward sweep pair crosses the
-        whole band, so the round count (and with it the overflow-hook segment
-        ops, pointer jumps and loop-carry overhead that profiling showed
-        dominate) collapses."""
-        of_same = (comp[of_src] == comp[of_tgt]) & (b[of_src] == b[of_tgt]) & (
-            of_w > 0.0
-        )
-        if use_pallas:
-            from .band_pallas import cc_sweeps_pallas
-
-            # (component, split side) fused into one comparison key
-            key = comp * 2 + b.astype(jnp.int32)
-            adj8 = adj8_pallas  # built once per solve (loop-invariant)
-        else:
-            compw = band_windows(comp, jnp.int32(-1))
-            bw = band_windows(b.astype(jnp.int8), jnp.int8(-1))
-            comp2 = comp.reshape(nb, B)[:, :, None]
-            b2 = b.astype(jnp.int8).reshape(nb, B)[:, :, None]
-            same_band = band_adj & (compw[:, None, :] == comp2) & (
-                bw[:, None, :] == b2
-            )
+        full round changes nothing. The (comp, b) pair is fused into one
+        int32 comparison key, so each sweep's only band-sized read is the
+        loop-invariant adjacency; the overflow list holds both directions of
+        every overflow edge (split_band_edges), so the hook is ONE one-sided
+        segment_min."""
+        # (component, split side) fused into one comparison key
+        key = comp * 2 + b.astype(jnp.int32)
+        of_same = (key[of_src] == key[of_tgt]) & (of_w > 0.0)
+        keyw = band_windows(key, jnp.int32(-1))
+        key2 = key.reshape(nb, B)[:, :, None]
 
         def round_body(state):
             lab, _, i = state
-            if use_pallas:
-                new = cc_sweeps_pallas(
-                    lab, adj8, key, cc_sweeps_per_round,
-                    interpret=pallas_interpret,
-                )
-            else:
-                new = cc_band_sweeps(lab, same_band, cc_sweeps_per_round)
-            # overflow hook: relax out-of-band edges exactly
-            m = jnp.where(
-                of_same, jnp.minimum(new[of_src], new[of_tgt]), BIG
+            new = cc_band_sweeps_key(
+                lab, band_adj, keyw, key2, cc_sweeps_per_round
             )
-            hook = jnp.minimum(
-                jax.ops.segment_min(m, of_src, num_segments=n),
-                jax.ops.segment_min(m, of_tgt, num_segments=n),
-            )
+            # overflow hook: relax out-of-band edges exactly (one-sided —
+            # the list is direction-symmetric)
+            m = jnp.where(of_same, new[of_tgt], BIG)
+            hook = jax.ops.segment_min(m, of_src, num_segments=n)
             new = jnp.minimum(new, hook)
             new = _jump(new, 3)
             return new, jnp.any(new != lab), i + 1
@@ -328,52 +325,66 @@ def _solve_band(
         b = jnp.sum(resid * v[comp], axis=1) > 0
         b = jnp.where(saturated[comp], False, b)
 
-        # intra-region weighted band. Pallas path: never materialized — the
-        # kernel masks the band tile in-register per sweep (the XLA path
-        # writes + re-reads a band-sized array here every outer iteration)
-        if not use_pallas:
-            compw = band_windows(comp, jnp.int32(-1))
-            w_intra = jnp.where(
-                band_adj
-                & (compw[:, None, :] == comp.reshape(nb, B)[:, :, None]),
-                band_w,
-                jnp.bfloat16(0.0),
-            )
+        # intra-region weighted band, materialized once per outer iteration
+        # and read by all 2*icm_sweeps*flow_steps matvec sweeps below
+        compw = band_windows(comp, jnp.int32(-1))
+        w_intra = jnp.where(
+            band_adj
+            & (compw[:, None, :] == comp.reshape(nb, B)[:, :, None]),
+            band_w,
+            jnp.bfloat16(0.0),
+        )
         of_intra_w = jnp.where(comp[of_src] == comp[of_tgt], of_w, 0.0)
 
         for k in range(flow_steps):
             step_on = k < steps_now
             b_in = b
             bf = b.astype(f.dtype)
-            hp, cp_ = _seg_mean(f, comp, n, nw * bf)
-            hm, cm_ = _seg_mean(f, comp, n, nw * (1.0 - bf))
-            hp = jnp.where((cp_ > 0)[:, None], hp, mean)
-            hm = jnp.where((cm_ > 0)[:, None], hm, mean)
+            # one fused segment_sum for both side-means (the two separate
+            # _seg_mean calls cost 2x the scatter indices), and delta_u via
+            # the expanded form: |f-hp|^2 - |f-hm|^2 =
+            # -2 f.(hp-hm) + |hp|^2 - |hm|^2 — one [n, d+1] gather instead
+            # of two [n, d] gathers + two squared-norm passes
+            wp = nw * bf
+            wm = nw - wp
+            sides = jax.ops.segment_sum(
+                jnp.concatenate(
+                    [f * wp[:, None], wp[:, None], f * wm[:, None],
+                     wm[:, None]], axis=1,
+                ),
+                comp, num_segments=n,
+            )
+            cp_ = sides[:, d]
+            cm_ = sides[:, 2 * d + 1]
+            hp = jnp.where(
+                (cp_ > 0)[:, None],
+                sides[:, :d] / jnp.maximum(cp_, 1e-12)[:, None], mean,
+            )
+            hm = jnp.where(
+                (cm_ > 0)[:, None],
+                sides[:, d + 1 : 2 * d + 1]
+                / jnp.maximum(cm_, 1e-12)[:, None], mean,
+            )
+            hd_q = jnp.concatenate(
+                [hp - hm,
+                 (jnp.sum(hp * hp, 1) - jnp.sum(hm * hm, 1))[:, None]],
+                axis=1,
+            )[comp]
             delta_u = nw * (
-                jnp.sum((f - hp[comp]) ** 2, axis=1)
-                - jnp.sum((f - hm[comp]) ** 2, axis=1)
+                -2.0 * jnp.sum(f * hd_q[:, :d], axis=1) + hd_q[:, d]
             )
             for s in range(2 * icm_sweeps):
                 # +-1/0 spin vector is exact in bf16 -> native MXU bf16 pass
                 spin = jnp.bfloat16(1.0) - jnp.bfloat16(2.0) * b.astype(
                     jnp.bfloat16
                 )
-                if use_pallas:
-                    # fused masked matvec (ops/band_pallas.py): band read
-                    # once, component mask computed in-register
-                    from .band_pallas import icm_field_pallas
-
-                    band_field = icm_field_pallas(
-                        band_w, comp, spin, interpret=pallas_interpret
-                    )
-                else:
-                    bw = band_windows(spin, jnp.bfloat16(0.0))
-                    # batched matvec: the MXU reads w_intra once per sweep
-                    # with no materialized [NB, B, WIN] broadcast product
-                    band_field = jnp.einsum(
-                        "pbw,pw->pb", w_intra, bw,
-                        preferred_element_type=jnp.float32,
-                    ).reshape(-1)
+                bw = band_windows(spin, jnp.bfloat16(0.0))
+                # batched matvec: the MXU reads w_intra once per sweep
+                # with no materialized [NB, B, WIN] broadcast product
+                band_field = jnp.einsum(
+                    "pbw,pw->pb", w_intra, bw,
+                    preferred_element_type=jnp.float32,
+                ).reshape(-1)
                 field = reg * (
                     band_field
                     + jax.ops.segment_sum(
@@ -464,9 +475,11 @@ def _prep_band_device(
     tgt = jnp.concatenate([pt, ps])
     w = jnp.concatenate([w0, w0])
 
-    p = src // B
-    c = tgt - (p - HALO) * B
-    inband = (c >= 0) & (c < WIN) & (w > 0.0)
+    c = tgt - (src // B) * B + PAD
+    c_rev = src - (tgt // B) * B + PAD
+    inband = (
+        (c >= 0) & (c < WIN) & (c_rev >= 0) & (c_rev < WIN) & (w > 0.0)
+    )
     # 2D scatter (row, col) keeps indices int32 at any cloud size
     band = jnp.zeros((n_pad, WIN), jnp.float32)
     band = band.at[
@@ -540,9 +553,11 @@ def _prep_band_chunk(
     src = jnp.where(okb, src, 0)
     tgt = jnp.where(okb, tgt, 0)
 
-    p = src // B
-    c = tgt - (p - HALO) * B
-    inband = (c >= 0) & (c < WIN) & (w > 0.0)
+    c = tgt - (src // B) * B + PAD
+    c_rev = src - (tgt // B) * B + PAD
+    inband = (
+        (c >= 0) & (c < WIN) & (c_rev >= 0) & (c_rev < WIN) & (w > 0.0)
+    )
     band = jnp.zeros((chunk_pad, WIN), jnp.bfloat16)
     band = band.at[
         jnp.where(inband, src, 0), jnp.where(inband, c, 0)

@@ -38,7 +38,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..ops.cutpursuit import _densify_first_occurrence, merge_rounds
 from ..ops.cutpursuit_band import B as _BLK
-from ..ops.cutpursuit_band import HALO as _BHALO
+from ..ops.cutpursuit_band import PAD as _BPAD
 from ..ops.cutpursuit_band import WIN as _BWIN
 from ..ops.cutpursuit_band import _solve_band, morton_order
 from ..ops.merge_device import _compact_pairs, _dedup_pairs, _pair_stats_kernel
@@ -74,9 +74,11 @@ def _window_band(bf, bidx, bd2, x0_loc, g0_win, n, dmean, lam,
     tgt = jnp.concatenate([tgt0, src0])
     w = jnp.concatenate([w0, w0])
 
-    p = src // _BLK
-    c = tgt - (p - _BHALO) * _BLK
-    inband = (c >= 0) & (c < _BWIN) & (w > 0.0)
+    c = tgt - (src // _BLK) * _BLK + _BPAD
+    c_rev = src - (tgt // _BLK) * _BLK + _BPAD
+    inband = (
+        (c >= 0) & (c < _BWIN) & (c_rev >= 0) & (c_rev < _BWIN) & (w > 0.0)
+    )
     band = jnp.zeros((chunk_pad, _BWIN), jnp.bfloat16)
     band = band.at[
         jnp.where(inband, src, 0), jnp.where(inband, c, 0)

@@ -35,7 +35,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from ..ops.cutpursuit_band import B, BIG, HALO, WIN, morton_order
+from ..ops.cutpursuit_band import B, BIG, PAD, WIN, morton_order
 
 
 def _geof_from(queries, db, nbrs, k):
@@ -63,13 +63,26 @@ def _geof_from(queries, db, nbrs, k):
 
 def _band_windows_local(v_rep, blk0, nb_local, fill):
     """[NB*B] replicated vector -> [nb_local, WIN] windows for global block
-    rows blk0 .. blk0+nb_local-1 (the device's slice)."""
-    nb = v_rep.shape[0] // B
-    v2 = v_rep.reshape(nb, B)
-    ghost = jnp.full((HALO, B), fill, v_rep.dtype)
-    v2p = jnp.concatenate([ghost, v2, ghost], axis=0)
-    sl = jax.lax.dynamic_slice(v2p, (blk0, 0), (nb_local + 2 * HALO, B))
-    parts = [sl[s : s + nb_local] for s in range(2 * HALO + 1)]
+    rows blk0 .. blk0+nb_local-1 (the device's slice): window[q, c] =
+    v[(blk0+q)*B - PAD + c], same geometry as ops.cutpursuit_band
+    (WIN = B + 2*PAD)."""
+    n = v_rep.shape[0]
+    v_pad = jnp.concatenate([
+        jnp.full((PAD,), fill, v_rep.dtype),
+        v_rep,
+        jnp.full((B + PAD,), fill, v_rep.dtype),
+    ])
+    sl = jax.lax.dynamic_slice(
+        v_pad, (blk0 * B,), (nb_local * B + 2 * PAD,)
+    )
+    parts = []
+    for s in range(0, WIN, B):
+        width = min(B, WIN - s)
+        parts.append(
+            jax.lax.dynamic_slice(sl, (s,), (nb_local * B,)).reshape(
+                nb_local, B
+            )[:, :width]
+        )
     return jnp.concatenate(parts, axis=1)
 
 

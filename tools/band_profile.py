@@ -71,8 +71,7 @@ def main():
     print(f"n_pad={n_pad}", flush=True)
 
     variants = {
-        "base": {},                      # Pallas fused sweeps (TPU default)
-        "xla": dict(use_pallas=False),   # round-3 XLA slice-and-select form
+        "base": {},
         "cc_rounds_2": dict(cc_rounds=2),
         "cc_heavy_sweeps": dict(cc_rounds=4, cc_sweeps_per_round=16),
         "icm_sweeps_1": dict(icm_sweeps=1),
