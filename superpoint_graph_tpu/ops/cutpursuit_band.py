@@ -108,6 +108,24 @@ def morton_perm_device(xyz, *, bits: int = 16):
     return perm
 
 
+def dedup_of_host(of_src, of_tgt, of_w, n_pad: int):
+    """Host-side twin of `_dedup_of`: weight-sum duplicate directed overflow
+    edges (mutual kNN pairs appear twice in the symmetrized list) — same
+    solver semantics, ~30% fewer entries for every CC hook / ICM segment
+    pass. Shared by the single-chip and mesh-sharded host preps."""
+    if not len(of_src):
+        return of_src, of_tgt, of_w
+    okey = of_src.astype(np.int64) * n_pad + of_tgt
+    order = np.argsort(okey, kind="stable")
+    okey_s = okey[order]
+    first = np.ones(len(okey_s), bool)
+    first[1:] = okey_s[1:] != okey_s[:-1]
+    rid = np.cumsum(first) - 1
+    w_sum = np.zeros(int(rid[-1]) + 1, np.float32)
+    np.add.at(w_sum, rid, of_w[order])
+    return of_src[order][first], of_tgt[order][first], w_sum
+
+
 def split_band_edges(n_pad: int, src: np.ndarray, tgt: np.ndarray,
                      w: np.ndarray):
     """Split symmetrized directed edges into in-window and overflow.
@@ -192,6 +210,30 @@ def _jump(lab, times: int):
     return lab
 
 
+def _dedup_of(of_src, of_tgt, of_w, of_cap: int):
+    """Weight-sum duplicate directed overflow edges in place.
+
+    The symmetrized edge list holds (i->j) TWICE for every mutual kNN pair
+    (once from each direction's concat half), so ~30% of the overflow list
+    is duplicates — and every CC round's hook gather/scatter and every ICM
+    sweep's segment_sum pay per entry. One 2-key sort + run compaction sums
+    duplicate weights (identical solver semantics: the band scatter already
+    sums its duplicates) and returns the unique count so the caller can
+    shrink the static cap the solve loops over. Padding entries (src=tgt=0,
+    w=0) collapse into one inert zero-weight run."""
+    s_s, t_s, w_s = jax.lax.sort((of_src, of_tgt, of_w), num_keys=2)
+    first = jnp.concatenate([
+        jnp.ones(1, bool), (s_s[1:] != s_s[:-1]) | (t_s[1:] != t_s[:-1])
+    ])
+    rid = jnp.cumsum(first.astype(jnp.int32)) - 1
+    w2 = jax.ops.segment_sum(w_s, rid, num_segments=of_cap)
+    pos = jnp.where(first, rid, of_cap)
+    src2 = jnp.zeros(of_cap + 1, jnp.int32).at[pos].set(s_s)[:of_cap]
+    tgt2 = jnp.zeros(of_cap + 1, jnp.int32).at[pos].set(t_s)[:of_cap]
+    n_unique = jnp.sum(first.astype(jnp.int32))
+    return src2, tgt2, w2, n_unique
+
+
 # ---------------------------------------------------------------------------
 # the solver
 # ---------------------------------------------------------------------------
@@ -226,6 +268,8 @@ def _solve_band(
     power_iters: int = 8,
     cc_rounds: int = 16,
     cc_sweeps_per_round: int = 4,
+    cc_hooks: int = 1,
+    cc_jumps: int = 3,
 ):
     # (A fused Mosaic Gauss-Seidel CC + masked-matvec ICM variant was built
     # and profiled in round 4 — it LOST to this XLA form at the square
@@ -287,11 +331,14 @@ def _solve_band(
                 lab, band_adj, keyw, key2, cc_sweeps_per_round
             )
             # overflow hook: relax out-of-band edges exactly (one-sided —
-            # the list is direction-symmetric)
-            m = jnp.where(of_same, new[of_tgt], BIG)
-            hook = jax.ops.segment_min(m, of_src, num_segments=n)
-            new = jnp.minimum(new, hook)
-            new = _jump(new, 3)
+            # the list is direction-symmetric); hook+jump repeated cc_hooks
+            # times so long-range label info crosses several overflow edges
+            # per round (the band sweeps only move it WIN/2 positions)
+            for _ in range(cc_hooks):
+                m = jnp.where(of_same, new[of_tgt], BIG)
+                hook = jax.ops.segment_min(m, of_src, num_segments=n)
+                new = jnp.minimum(new, hook)
+                new = _jump(new, cc_jumps)
             return new, jnp.any(new != lab), i + 1
 
         def round_cond(state):
@@ -499,13 +546,14 @@ def _prep_band_device(
         .at[tgt_pos]
         .set(jnp.where(is_of, w, 0.0))[:of_cap]
     )
+    of_src, of_tgt, of_w, of_unique = _dedup_of(of_src, of_tgt, of_w, of_cap)
 
     # pad rows' features can be NaN (geof of degenerate pad positions) —
     # where-mask them to zero (a multiply would propagate the NaN)
     real_p = real[perm]
     f_p = jnp.where(real_p[:, None], f[perm], 0.0)
     nw = real_p.astype(jnp.float32)
-    return f_p, band_w, of_src, of_tgt, of_w, nw, of_count
+    return f_p, band_w, of_src, of_tgt, of_w, nw, of_count, of_unique
 
 
 @partial(jax.jit, static_argnames=("k_adj", "chunk_pad", "of_cap"))
@@ -575,12 +623,14 @@ def _prep_band_chunk(
         .at[tgt_pos]
         .set(jnp.where(is_of, w, 0.0))[:of_cap]
     )
+    of_src, of_tgt, of_w, of_unique = _dedup_of(of_src, of_tgt, of_w, of_cap)
     nw = real.astype(jnp.float32)
     # (src0, tgt0, w0) is the chunk's DIRECTED edge list (w0 already 0 on
     # dropped/padding edges) — returned for the device-side per-chunk merge
     # (ops.merge_device); tgt0 may be out of window (clamped gathers are
     # masked by w0 == 0)
-    return f_rows, band_w, of_src, of_tgt, of_w, nw, of_count, src0, tgt0, w0
+    return (f_rows, band_w, of_src, of_tgt, of_w, nw, of_count, of_unique,
+            src0, tgt0, w0)
 
 
 def cutpursuit_band_device(
@@ -610,24 +660,27 @@ def cutpursuit_band_device(
     k_adj = idx_adj_dev.shape[1]
     e_total = 2 * n_pad * k_adj
     of_cap = max(4096, 1 << int(np.ceil(np.log2(max(e_total // 4, 2)))))
-    f_p, band_w, of_src, of_tgt, of_w, nw, of_count = _prep_band_device(
-        f_dev,
-        idx_adj_dev,
-        d2_adj_dev,
-        jnp.asarray(perm_full),
-        jnp.asarray(inv),
-        jnp.int32(n),
-        jnp.float32(lambda_edge_weight),
-        k_adj=k_adj,
-        of_cap=of_cap,
+    f_p, band_w, of_src, of_tgt, of_w, nw, of_count, of_unique = (
+        _prep_band_device(
+            f_dev,
+            idx_adj_dev,
+            d2_adj_dev,
+            jnp.asarray(perm_full),
+            jnp.asarray(inv),
+            jnp.int32(n),
+            jnp.float32(lambda_edge_weight),
+            k_adj=k_adj,
+            of_cap=of_cap,
+        )
     )
-    # compact the overflow list to its actual (bucketed) length: every CC
-    # round and ICM sweep runs segment ops over it, so the static worst-case
-    # cap would cost ~8x on typical (~5% overflow) graphs
+    # compact the overflow list to its actual (bucketed, DEDUPED) length:
+    # every CC round and ICM sweep runs segment ops over it, so the static
+    # worst-case cap would cost ~8x on typical (~5% overflow) graphs
     of_n = int(jax.device_get(of_count))
     if of_n > of_cap:  # pathological graph: caller must fall back
         raise OverflowError(f"overflow edges {of_n} exceed cap {of_cap}")
-    cap2 = max(16384, 1 << int(np.ceil(np.log2(max(of_n, 2)))))
+    of_u = int(jax.device_get(of_unique))
+    cap2 = max(16384, 1 << int(np.ceil(np.log2(max(of_u, 2)))))
     if cap2 < of_cap:
         of_src, of_tgt, of_w = (
             of_src[:cap2], of_tgt[:cap2], of_w[:cap2]
@@ -731,6 +784,7 @@ def cutpursuit_band(
     flat_idx, flat_w, of_src, of_tgt, of_w = split_band_edges(
         n_pad, ds, dt, dw
     )
+    of_src, of_tgt, of_w = dedup_of_host(of_src, of_tgt, of_w, n_pad)
     # pad overflow list to a bucketed length (self-loops with zero weight)
     e_of = max(1024, 1 << int(np.ceil(np.log2(max(len(of_src), 1)))))
     of_src_p = np.zeros(e_of, np.int32)

@@ -397,7 +397,7 @@ def cutpursuit_band_sharded(
     layout (each device receives only its block rows)."""
     from ..ops.components import connected_components, group_components
     from ..ops.cutpursuit import merge_regions
-    from ..ops.cutpursuit_band import split_band_edges
+    from ..ops.cutpursuit_band import dedup_of_host, split_band_edges
 
     n_dev = mesh.shape[axis]
     f = np.ascontiguousarray(features, dtype=np.float32)
@@ -437,6 +437,7 @@ def cutpursuit_band_sharded(
     flat_idx, flat_w, of_src, of_tgt, of_w = split_band_edges(
         n_pad, ds, dt, dw
     )
+    of_src, of_tgt, of_w = dedup_of_host(of_src, of_tgt, of_w, n_pad)
     # host-side band assembly; each device receives only its block rows
     band = np.zeros(n_pad * WIN, np.float32)
     np.add.at(band, flat_idx, flat_w)

@@ -216,7 +216,8 @@ def chunked_cutpursuit_device(
         t0 = time.perf_counter()
         s, e = c * stride, min((c + 1) * stride, n)
         x0, x1 = max(0, s - halo), min(n, e + halo)
-        f_rows, band_w, of_src, of_tgt, of_w, nw, of_count, esrc, etgt, ew = (
+        (f_rows, band_w, of_src, of_tgt, of_w, nw, of_count, of_unique,
+         esrc, etgt, ew) = (
             _prep_band_chunk(
                 f_dev, idx_adj_dev, d2_adj_dev, perm_ext_dev, inv_dev,
                 jnp.int32(x0), jnp.int32(x1 - x0), dmean, lam,
@@ -228,7 +229,8 @@ def chunked_cutpursuit_device(
             raise OverflowError(
                 f"chunk {c}: overflow edges {of_n} exceed cap {of_cap}"
             )
-        cap2 = max(16384, 1 << int(np.ceil(np.log2(max(of_n, 2)))))
+        of_u = int(jax.device_get(of_unique))
+        cap2 = max(16384, 1 << int(np.ceil(np.log2(max(of_u, 2)))))
         if cap2 < of_cap:
             of_src, of_tgt, of_w = of_src[:cap2], of_tgt[:cap2], of_w[:cap2]
         t_p = time.perf_counter()

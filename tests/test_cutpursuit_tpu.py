@@ -157,3 +157,62 @@ class TestCutPursuitBand:
             f, src, tgt, np.ones(len(src)), 0.05, cutoff=3, weight_decay=0.7
         )
         assert np.bincount(in_comp).min() >= 3
+
+
+class TestOverflowDedup:
+    def test_dedup_of_device_matches_numpy(self):
+        """_dedup_of (device 2-key sort + run compaction) vs a numpy oracle:
+        unique directed pairs with summed weights, padding inert."""
+        import jax.numpy as jnp
+
+        from superpoint_graph_tpu.ops.cutpursuit_band import _dedup_of
+
+        rng = np.random.RandomState(0)
+        cap = 256
+        n_real = 200
+        src = rng.randint(0, 40, n_real).astype(np.int32)
+        tgt = rng.randint(0, 40, n_real).astype(np.int32)
+        w = rng.rand(n_real).astype(np.float32) + 0.1
+        src_p = np.zeros(cap, np.int32)
+        tgt_p = np.zeros(cap, np.int32)
+        w_p = np.zeros(cap, np.float32)
+        src_p[:n_real], tgt_p[:n_real], w_p[:n_real] = src, tgt, w
+        s2, t2, w2, nu = _dedup_of(
+            jnp.asarray(src_p), jnp.asarray(tgt_p), jnp.asarray(w_p), cap
+        )
+        s2, t2, w2, nu = map(np.asarray, (s2, t2, w2, nu))
+        # oracle: sum weights per unique (src, tgt), plus the inert (0, 0)
+        # padding run
+        key = src.astype(np.int64) * 1000 + tgt
+        uniq, inverse = np.unique(key, return_inverse=True)
+        w_ref = np.zeros(len(uniq), np.float64)
+        np.add.at(w_ref, inverse, w)
+        got = {}
+        for i in range(int(nu)):
+            got[(int(s2[i]), int(t2[i]))] = float(w2[i])
+        for u, wv in zip(uniq, w_ref):
+            assert np.isclose(got[(int(u // 1000), int(u % 1000))], wv,
+                              rtol=1e-5), (u, wv)
+        # every entry past the unique count carries zero weight
+        assert np.all(w2[int(nu):] == 0.0)
+
+    def test_band_solver_invariant_to_duplicate_edges(self, rng):
+        """Feeding the same undirected edge twice (mutual-kNN shape) must
+        give the same partition as feeding it once with doubled weight —
+        the dedup path sums duplicates exactly like the band scatter."""
+        h, w = 10, 14
+        src, tgt = grid_graph(h, w)
+        f = np.zeros((h * w, 2), np.float32)
+        f[:, 0] = (np.arange(h * w) % w >= w // 2).astype(np.float32)
+        f += 0.05 * rng.randn(h * w, 2).astype(np.float32)
+        ew = np.ones(len(src), np.float32)
+        # duplicate every edge (the symmetrization inside the solver then
+        # sees each direction twice)
+        src2 = np.concatenate([src, src])
+        tgt2 = np.concatenate([tgt, tgt])
+        ew2 = np.concatenate([ew * 0.5, ew * 0.5])
+        _, ic_a = cutpursuit_band(f, src, tgt, ew, 0.3)
+        _, ic_b = cutpursuit_band(f, src2, tgt2, ew2, 0.3)
+        e_a = partition_energy(f, ic_a, src, tgt, ew, 0.3)
+        e_b = partition_energy(f, ic_b, src, tgt, ew, 0.3)
+        assert abs(e_a - e_b) <= 1e-3 * max(abs(e_a), 1.0)

@@ -72,11 +72,16 @@ def main():
 
     variants = {
         "base": {},
-        "cc_rounds_2": dict(cc_rounds=2),
-        "cc_heavy_sweeps": dict(cc_rounds=4, cc_sweeps_per_round=16),
+        # CC round structure: more pointer jumps / repeated hook+jump per
+        # round trade cheap per-round work for fewer while_loop rounds
+        "jumps6": dict(cc_jumps=6),
+        "hooks2": dict(cc_hooks=2),
+        "hooks2_jumps4_sweeps2": dict(
+            cc_hooks=2, cc_jumps=4, cc_sweeps_per_round=2
+        ),
+        "icm_sweeps_2": dict(icm_sweeps=2),
         "icm_sweeps_1": dict(icm_sweeps=1),
         "flow_steps_1": dict(flow_steps=1),
-        "max_iter_1": dict(max_iter=1),
     }
     results = {"n": n, "n_pad": int(n_pad)}
     for name, kw in variants.items():

@@ -65,6 +65,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=14)
     ap.add_argument("--cp_backend", default="tpu")
+    ap.add_argument("--reg_strength", type=float, default=0.03)
+    ap.add_argument("--cp_cutoff", type=int, default=4)
+    ap.add_argument("--out", default="ssp_quality_results.json",
+                    help="results filename (under tools/)")
     args = ap.parse_args()
 
     import jax
@@ -93,8 +97,8 @@ def main():
             ptn_nfeat_stn=2, use_rgb=True, ptn_norm="layer",
         )
         loss_cfg = SspLossConfig(
-            reg_strength=0.03, k_nn_adj=5, CP_cutoff=4,
-            cp_backend=args.cp_backend,
+            reg_strength=args.reg_strength, k_nn_adj=5,
+            CP_cutoff=args.cp_cutoff, cp_backend=args.cp_backend,
         )
         loader_cfg = SspLoaderConfig(
             k_nn_local=20, max_ver_train=10000, use_rgb=True
@@ -156,6 +160,8 @@ def main():
         first, last = curve[0], curve[-1]
         summary = {
             "cp_backend": args.cp_backend,
+            "reg_strength": args.reg_strength,
+            "cp_cutoff": args.cp_cutoff,
             "epochs": args.epochs,
             "asa_first": first["asa"], "asa_last": last["asa"],
             "br_first": first["br"], "br_last": last["br"],
@@ -168,7 +174,7 @@ def main():
         print(json.dumps({k: v for k, v in summary.items() if k != "curve"}),
               flush=True)
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "ssp_quality_results.json")
+                           args.out)
         with open(out, "w") as f:
             json.dump(summary, f, indent=1)
         print("wrote", out)
