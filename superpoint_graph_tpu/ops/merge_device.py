@@ -33,6 +33,10 @@ from .cutpursuit import merge_rounds
 # Reset by callers that want a per-call split (pipeline_big stats).
 LAST_MERGE_STATS = {"reduce": 0.0, "rounds": 0.0}
 
+# above this many edges, pair_stats compacts the cross-region subset before
+# the pair-dedup sort (tests lower it to exercise the compact path)
+COMPACT_THRESHOLD = 1 << 22
+
 
 def _dedup_pairs(ca, cb, w, n_comp_cap):
     """Shared pair-dedup block: region pairs (ca, cb) with weights w →
@@ -56,6 +60,44 @@ def _dedup_pairs(ca, cb, w, n_comp_cap):
     # last valid pid — zero them so they never leak into the last pair
     w_s = jnp.where(valid_s, w_s, 0.0)
     return lo_s, hi_s, w_s, new, pid, n_pairs
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _compact_cross(comp, src, tgt, w, *, cap: int):
+    """Compact the cross-region edges (comp[src] != comp[tgt], w > 0) into a
+    static-capacity (ca, cb, w) list via cumsum positions, plus the true
+    cross count (> cap means the list spilled and the caller must retry with
+    a bigger cap). The pair-dedup sort is the dominant reduction cost and
+    scales with its INPUT length — at heal scale only ~5-15% of the directed
+    kNN edge list is cross-region, so sorting the compacted list instead of
+    the raw one is a 5-10x cut on the sorted rows."""
+    ca = comp[src]
+    cb = comp[tgt]
+    valid = (ca != cb) & (w > 0.0)
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    n_cross = jnp.sum(valid.astype(jnp.int32))
+    tgt_pos = jnp.where(valid & (pos < cap), pos, cap)
+    a = jnp.zeros(cap + 1, jnp.int32).at[tgt_pos].set(ca)[:cap]
+    b = jnp.zeros(cap + 1, jnp.int32).at[tgt_pos].set(cb)[:cap]
+    ww = (
+        jnp.zeros(cap + 1, jnp.float32)
+        .at[tgt_pos]
+        .set(jnp.where(valid, w, 0.0))[:cap]
+    )
+    return a, b, ww, n_cross
+
+
+@partial(jax.jit, static_argnames=("n_comp_cap",))
+def _node_stats_kernel(f, nw, comp, *, n_comp_cap: int):
+    S = jax.ops.segment_sum(f * nw[:, None], comp, num_segments=n_comp_cap)
+    m = jax.ops.segment_sum(nw, comp, num_segments=n_comp_cap)
+    return S, m
+
+
+@partial(jax.jit, static_argnames=("n_comp_cap",))
+def _pair_stats_compact_kernel(ca, cb, w, *, n_comp_cap: int):
+    """Pair dedup over an already-compacted cross-edge list."""
+    return _dedup_pairs(ca, cb, w, n_comp_cap)
 
 
 @partial(jax.jit, static_argnames=("n_comp_cap",))
@@ -107,12 +149,31 @@ def pair_stats(f_dev, nw_dev, comp_dev, src_dev, tgt_dev, w_dev,
 
     All inputs live on device (or are np arrays jax will place); shapes are
     bucketed by the caller. Only [n_comp, d] + 3×[n_pairs] arrays are
-    fetched."""
+    fetched. Above `compact_threshold` edges the cross-region subset is
+    compacted first so the pair-dedup sort runs over ~10x fewer rows."""
     n_comp_cap = 1 << int(np.ceil(np.log2(max(n_comp, 2))))
-    S, m, lo_s, hi_s, w_s, new, pid, n_pairs = _pair_stats_kernel(
-        f_dev, nw_dev, comp_dev, src_dev, tgt_dev, w_dev,
-        n_comp_cap=n_comp_cap,
-    )
+    e = int(np.shape(src_dev)[0])
+    if e >= COMPACT_THRESHOLD:
+        S, m = _node_stats_kernel(
+            f_dev, nw_dev, comp_dev, n_comp_cap=n_comp_cap
+        )
+        cap = max(1 << 16, 1 << int(np.ceil(np.log2(max(e // 8, 2)))))
+        while True:
+            ca, cb, ww, n_cross = _compact_cross(
+                comp_dev, src_dev, tgt_dev, w_dev, cap=cap
+            )
+            nc = int(jax.device_get(n_cross))
+            if nc <= cap:
+                break
+            cap = 1 << int(np.ceil(np.log2(nc)))  # spilled: retry bigger
+        lo_s, hi_s, w_s, new, pid, n_pairs = _pair_stats_compact_kernel(
+            ca, cb, ww, n_comp_cap=n_comp_cap
+        )
+    else:
+        S, m, lo_s, hi_s, w_s, new, pid, n_pairs = _pair_stats_kernel(
+            f_dev, nw_dev, comp_dev, src_dev, tgt_dev, w_dev,
+            n_comp_cap=n_comp_cap,
+        )
     np_pairs = int(jax.device_get(n_pairs))
     p_cap = max(1024, 1 << int(np.ceil(np.log2(max(np_pairs, 2)))))
     pair_a, pair_b, pair_w = _compact_pairs(

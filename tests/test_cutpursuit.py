@@ -308,3 +308,38 @@ class TestGreedyMatchingAndDensify:
             np.testing.assert_array_equal(
                 _densify_first_occurrence(lab), ref
             )
+
+
+class TestPairStatsCompactPath:
+    def test_compact_path_matches_plain(self, rng):
+        """pair_stats' cross-edge compaction (the >= COMPACT_THRESHOLD heal
+        path) must reproduce the plain full-sort reduction exactly,
+        including the spill-retry when the initial cap is too small."""
+        import jax.numpy as jnp
+
+        from superpoint_graph_tpu.ops import merge_device as md
+
+        h, w = 16, 24
+        src, tgt = grid_graph(h, w)
+        n = h * w
+        ew = rng.rand(len(src)).astype(np.float32) + 0.1
+        f = rng.randn(n, 3).astype(np.float32)
+        # fine-grained comps -> MOST edges are cross-region, so the initial
+        # cap (e // 8) always spills and the retry path runs too
+        comp = (np.arange(n) % 97).astype(np.int64)
+        n_comp = int(comp.max()) + 1
+        args = (
+            jnp.asarray(f), jnp.ones(n, jnp.float32),
+            jnp.asarray(comp, jnp.int32),
+            jnp.asarray(src, jnp.int32), jnp.asarray(tgt, jnp.int32),
+            jnp.asarray(ew), n_comp,
+        )
+        plain = md.pair_stats(*args)
+        old = md.COMPACT_THRESHOLD
+        md.COMPACT_THRESHOLD = 1
+        try:
+            compact = md.pair_stats(*args)
+        finally:
+            md.COMPACT_THRESHOLD = old
+        for a, b in zip(plain, compact):
+            np.testing.assert_allclose(a, b, rtol=1e-6)
