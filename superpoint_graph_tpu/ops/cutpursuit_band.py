@@ -249,7 +249,7 @@ def _seg_mean(data, seg, n, weights):
     jax.jit,
     static_argnames=(
         "max_iter", "icm_sweeps", "flow_steps", "power_iters", "cc_rounds",
-        "cc_sweeps_per_round",
+        "cc_sweeps_per_round", "cc_hooks", "cc_jumps",
     ),
 )
 def _solve_band(

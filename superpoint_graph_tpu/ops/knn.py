@@ -158,6 +158,43 @@ def knn_vs_db(
     block_db: int = 65536,
     recall_target: float = 0.95,
 ) -> tuple[jax.Array, jax.Array]:
+    # Host callers MUST go through the jitted entry below: called eagerly,
+    # the lax.map/scan/approx_min_k nest recompiles in EVERY process under
+    # generic executable names the persistent cache can't serve — measured
+    # 235 s per fresh process at 500k db rows (tools/cache_diag_results.json,
+    # the whole round-3 "kNN cold residual").
+    return _knn_vs_db_impl(
+        queries, db, k, self_offset=self_offset, block_q=block_q,
+        block_db=block_db, recall_target=recall_target,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "block_q", "block_db", "recall_target"),
+)
+def knn_vs_db_jit(
+    queries, db, k: int, *, block_q: int = 1024, block_db: int = 65536,
+    recall_target: float = 0.95,
+):
+    """One-executable form of `knn_vs_db` (self_offset=None) for host call
+    sites — the radius sampler and the straggler fallback."""
+    return _knn_vs_db_impl(
+        queries, db, k, self_offset=None, block_q=block_q,
+        block_db=block_db, recall_target=recall_target,
+    )
+
+
+def _knn_vs_db_impl(
+    queries: jax.Array,
+    db: jax.Array,
+    k: int,
+    *,
+    self_offset: int | jax.Array | None = None,
+    block_q: int = 1024,
+    block_db: int = 65536,
+    recall_target: float = 0.95,
+) -> tuple[jax.Array, jax.Array]:
     """kNN of `queries` among `db` (traceable; for use inside shard_map —
     the building block of the multi-chip giant-cloud partition where each
     device owns a query shard and the db is replicated).
@@ -556,7 +593,7 @@ def _sample_knn_radius(
     bdb = 65536
     if db_dev is not None:
         assert db_dev.shape[0] % bdb == 0
-        idx, d2 = knn_vs_db(
+        idx, d2 = knn_vs_db_jit(
             jnp.asarray(q), db_dev, k + 1,
             block_q=bq, block_db=bdb, recall_target=0.95,
         )
@@ -581,7 +618,7 @@ def _sample_knn_radius(
             ndb - n, dtype=np.float32
         )[:, None]
         db = np.concatenate([db, far])
-    idx, d2 = knn_vs_db(
+    idx, d2 = knn_vs_db_jit(
         jnp.asarray(q), jnp.asarray(db), k + 1,
         block_q=bq, block_db=bdb, recall_target=0.95,
     )
@@ -853,7 +890,7 @@ def knn_bigcloud(
             if ndb2 > n:
                 db[n:] = 1e17 + np.arange(ndb2 - n, dtype=np.float32)[:, None]
             db_arr = jnp.asarray(db)
-        fi, fd = knn_vs_db(
+        fi, fd = knn_vs_db_jit(
             jnp.asarray(q), db_arr, k + 1,
             block_q=bq, block_db=bdb, recall_target=0.95,
         )
