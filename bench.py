@@ -45,7 +45,10 @@ def _enable_compile_cache():
     os.makedirs(cache, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # cache sub-second compiles too: ~80 eager-op executables x ~0.5 s
+        # each re-compiled per process under the default 1.0 s threshold
+        # (tools/cache_diag_results.json)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 
