@@ -590,7 +590,13 @@ def _sample_knn_radius(
     mq = -(-len(q) // bq) * bq
     if mq > len(q):
         q = np.concatenate([q, np.full((mq - len(q), 3), 2e17, np.float32)])
-    bdb = 65536
+    # 8192-wide db tiles: approx_min_k over 65536-wide tiles is the round-2
+    # compile pathology (CLAUDE.md), and the tunnel pays that compile at
+    # FIRST EXECUTION in every process (~300 s, uncacheable client-side —
+    # tools/cache_diag_results.json / r4 knn-cold legs); narrow tiles are the
+    # same class as the level-search windows (benign), the scan just runs
+    # more, cheap MXU tiles
+    bdb = 8192
     if db_dev is not None:
         assert db_dev.shape[0] % bdb == 0
         idx, d2 = knn_vs_db_jit(
@@ -611,7 +617,8 @@ def _sample_knn_radius(
     # rows, identical warm time). A missed neighbor only makes the sampled
     # r_k LARGER (found d_k rises), which over-sizes the cell ladder — safe.
     gran = 1 << 20
-    ndb = -(-n // bdb) * bdb if n <= gran else -(-n // gran) * gran
+    dbgran = 65536  # db row bucketing stays coarse for executable reuse
+    ndb = -(-n // dbgran) * dbgran if n <= gran else -(-n // gran) * gran
     db = np.asarray(xyz, np.float32)
     if ndb > n:
         far = np.full((ndb - n, 3), 1e17, np.float32) + np.arange(
@@ -870,6 +877,7 @@ def knn_bigcloud(
     if n_bad:
         fidx = pending.astype(np.int64)
         bq = 256
+        bdb_fb = 8192  # same 65536-wide approx_min_k pathology as above
         # bucket query rows to powers of two and db rows to 2^20 granularity
         # so straggler counts / cloud sizes reuse executables; recall 0.95
         # (vs 0.99) cuts this one-shot compile ~10x — stragglers then see
@@ -878,13 +886,15 @@ def knn_bigcloud(
         mq = max(bq, 1 << int(np.ceil(np.log2(max(n_bad, 2)))))
         q = np.full((mq, 3), 2e17, np.float32)
         q[:n_bad] = xyz[fidx]
-        bdb = 65536
+        bdb = bdb_fb
         if db_dev is not None:
             # reuse the resident padded db (no ~40 MB host rebuild + upload)
             db_arr = db_dev
         else:
             gran2 = 1 << 20
-            ndb2 = -(-n // bdb) * bdb if n <= gran2 else -(-n // gran2) * gran2
+            dbgran2 = 65536  # coarse db bucketing for executable reuse
+            ndb2 = (-(-n // dbgran2) * dbgran2 if n <= gran2
+                    else -(-n // gran2) * gran2)
             db = np.full((ndb2, 3), 0, np.float32)
             db[:n] = xyz
             if ndb2 > n:
