@@ -34,8 +34,12 @@ from .cutpursuit import merge_rounds
 LAST_MERGE_STATS = {"reduce": 0.0, "rounds": 0.0}
 
 # above this many edges, pair_stats compacts the cross-region subset before
-# the pair-dedup sort (tests lower it to exercise the compact path)
-COMPACT_THRESHOLD = 1 << 22
+# the pair-dedup sort (tests lower it to exercise the compact path). Set
+# ABOVE the per-chunk merge's edge-list length (5.2M at chunk_pad 2^19):
+# right after a chunk solve the cross fraction is high, so compaction there
+# spill-retries and lost ~1.5 s at 2e6 (bigcloud_2e6_r4.json) — only the
+# global heal (cross fraction ~5-15%) wins from it
+COMPACT_THRESHOLD = 1 << 23
 
 
 def _dedup_pairs(ca, cb, w, n_comp_cap):
