@@ -617,8 +617,9 @@ def _sample_knn_radius(
     # rows, identical warm time). A missed neighbor only makes the sampled
     # r_k LARGER (found d_k rises), which over-sizes the cell ladder — safe.
     gran = 1 << 20
-    dbgran = 65536  # db row bucketing stays coarse for executable reuse
-    ndb = -(-n // dbgran) * dbgran if n <= gran else -(-n // gran) * gran
+    # power-of-two buckets below 1M, 2^20 multiples above (shape reuse)
+    ndb = (max(65536, 1 << int(np.ceil(np.log2(max(n, 2)))))
+           if n <= gran else -(-n // gran) * gran)
     db = np.asarray(xyz, np.float32)
     if ndb > n:
         far = np.full((ndb - n, 3), 1e17, np.float32) + np.arange(
@@ -684,6 +685,13 @@ def knn_bigcloud(
     n_db = n + 4 * window_cap
     if n_db > (1 << 20):
         n_db = -(-n_db // (1 << 20)) * (1 << 20)
+    else:
+        # power-of-two buckets below 1M: 65536-granularity left 8 distinct
+        # db shapes per octave, each paying a full level-executable-family
+        # compile on first sight (~3 min; the at-scale 656k-voxel run hit
+        # one) — pad waste is a few MB and only the radius/straggler scans
+        # see the extra rows
+        n_db = max(65536, 1 << int(np.ceil(np.log2(n_db))))
     xyz_pad = np.full((n_db, 3), 1e17, np.float32)
     xyz_pad[:n] = xyz
     xyz_pad[n:] += np.arange(n_db - n, dtype=np.float32)[:, None]
@@ -892,9 +900,8 @@ def knn_bigcloud(
             db_arr = db_dev
         else:
             gran2 = 1 << 20
-            dbgran2 = 65536  # coarse db bucketing for executable reuse
-            ndb2 = (-(-n // dbgran2) * dbgran2 if n <= gran2
-                    else -(-n // gran2) * gran2)
+            ndb2 = (max(65536, 1 << int(np.ceil(np.log2(max(n, 2)))))
+                    if n <= gran2 else -(-n // gran2) * gran2)
             db = np.full((ndb2, 3), 0, np.float32)
             db[:n] = xyz
             if ndb2 > n:
