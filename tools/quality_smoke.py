@@ -19,6 +19,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spg_adjacency", default="knn",
+                    help="'knn' (giant-path superedge support) or 'delaunay' "
+                         "(the reference's graphs.py:75-118 support) — the "
+                         "SURVEY §7.3-3 mIoU-impact A/B")
+    ap.add_argument("--out", default="quality_smoke_results.json")
+    args = ap.parse_args()
+
     from test_cli import write_s3dis_room
 
     from superpoint_graph_tpu.cli import partition as cli_partition
@@ -35,7 +45,7 @@ def main():
         "--ROOT_PATH", root, "--dataset", "s3dis",
         "--voxel_width", "0.05", "--reg_strength", "0.05",
         "--k_nn_geof", "30", "--k_nn_adj", "8",
-        "--spg_adjacency", "knn", "--cp_backend", "tpu",
+        "--spg_adjacency", args.spg_adjacency, "--cp_backend", "tpu",
     ])
     preprocess_pointclouds(root, "s3dis", 13)
 
@@ -63,10 +73,11 @@ def main():
         "first_epoch_train_acc": log[0]["acc"],
         "last_epoch_train_acc": log[-1]["acc"],
         "backend": jax.devices()[0].platform,
+        "spg_adjacency": args.spg_adjacency,
         "root": root,
     }
     print(json.dumps(out, indent=2))
-    with open(os.path.join(os.path.dirname(__file__), "quality_smoke_results.json"), "w") as f:
+    with open(os.path.join(os.path.dirname(__file__), args.out), "w") as f:
         json.dump(out, f, indent=2)
 
 
