@@ -249,7 +249,7 @@ def _seg_mean(data, seg, n, weights):
     jax.jit,
     static_argnames=(
         "max_iter", "icm_sweeps", "flow_steps", "power_iters", "cc_rounds",
-        "cc_sweeps_per_round", "cc_hooks", "cc_jumps",
+        "cc_sweeps_per_round", "cc_hooks", "cc_jumps", "accept",
     ),
 )
 def _solve_band(
@@ -270,6 +270,7 @@ def _solve_band(
     cc_sweeps_per_round: int = 4,
     cc_hooks: int = 1,
     cc_jumps: int = 3,
+    accept: str = "global",
 ):
     # (A fused Mosaic Gauss-Seidel CC + masked-matvec ICM variant was built
     # and profiled in round 4 — it LOST to this XLA form at the square
@@ -451,6 +452,65 @@ def _solve_band(
         mean = means_of(comp)
         b = split_once(comp, saturated, mean, it)
         new_comp, rounds = cc_full(comp, b)
+        if accept == "region":
+            # Per-OLD-region accept (the exact reference solver's effective
+            # semantics: a max-flow split can never increase its own
+            # region's energy, so the reference never needs global
+            # rejection; the ICM split approximation can, and rejecting the
+            # WHOLE iteration over one bad region both under-segments and
+            # ends the outer loop early — the at-scale receipt's failure
+            # mode). The energy is separable by old region: fidelity is
+            # per-node, newly cut edges are intra-region, and cross-region
+            # edges are cut both before and after. Labels stay collision
+            # free because cc_full labels are min node indices of disjoint
+            # node sets.
+            new_mean = means_of(new_comp)
+            fo_node = nw * jnp.sum((f - mean[comp]) ** 2, axis=1)
+            fn_node = nw * jnp.sum((f - new_mean[new_comp]) ** 2, axis=1)
+            dfid = jax.ops.segment_sum(
+                fn_node - fo_node, comp, num_segments=n
+            )
+            fo_reg = jax.ops.segment_sum(fo_node, comp, num_segments=n)
+            compw = band_windows(comp, jnp.int32(-1))
+            comp2 = comp.reshape(nb, B)[:, :, None]
+            ncw = band_windows(new_comp, jnp.int32(-1))
+            nc2 = new_comp.reshape(nb, B)[:, :, None]
+            cut_node = jnp.sum(
+                jnp.where(
+                    band_adj
+                    & (compw[:, None, :] == comp2)
+                    & (ncw[:, None, :] != nc2),
+                    band_w,
+                    jnp.bfloat16(0.0),
+                ).astype(jnp.float32),
+                axis=2,
+            ).reshape(-1)
+            of_cut = jnp.where(
+                (comp[of_src] == comp[of_tgt])
+                & (new_comp[of_src] != new_comp[of_tgt]),
+                of_w,
+                0.0,
+            )
+            # both directions of every undirected edge are present
+            dcut = 0.5 * (
+                jax.ops.segment_sum(cut_node, comp, num_segments=n)
+                + jax.ops.segment_sum(of_cut, comp[of_src], num_segments=n)
+            )
+            delta = dfid + reg * dcut
+            acc_r = delta < -1e-6 * jnp.maximum(fo_reg, 1.0)
+            acc_n = acc_r[comp]
+            improved = jnp.any(acc_n)
+            comp_out = jnp.where(acc_n, new_comp, comp)
+            # accepted regions' children stay splittable; unsplit or
+            # rejected regions saturate (their means — hence their split —
+            # cannot change while they stand). `saturated` is keyed by
+            # label (split_once reads saturated[comp]), so scatter the
+            # uniform-per-region node mask onto the surviving labels.
+            sat_out = jax.ops.segment_max(
+                (~acc_n).astype(jnp.int32), comp_out, num_segments=n
+            ).astype(bool)
+            e_out = energy + jnp.sum(jnp.where(acc_r, delta, 0.0))
+            return comp_out, sat_out, e_out, it + 1, improved, ccr + rounds
         new_energy = energy_of(new_comp, means_of(new_comp))
         improved = new_energy < energy - 1e-6 * jnp.maximum(
             jnp.abs(energy), 1.0

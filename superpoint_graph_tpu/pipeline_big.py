@@ -211,6 +211,7 @@ def chunked_cutpursuit_device(
     in_comp = np.empty(n, np.int64)
     base = 0
     t_solve = t_merge = t_prep = 0.0
+    solve_iters: list[int] = []  # per-chunk executed outer iterations
     LAST_MERGE_STATS.update(reduce=0.0, rounds=0.0)
     for c in range(n_chunks):
         t0 = time.perf_counter()
@@ -235,11 +236,12 @@ def chunked_cutpursuit_device(
             of_src, of_tgt, of_w = of_src[:cap2], of_tgt[:cap2], of_w[:cap2]
         t_p = time.perf_counter()
         t_prep += t_p - t0
-        comp, _, _, _ = _solve_band(
+        comp, _, it_dev, _ = _solve_band(
             f_rows, band_w, of_src, of_tgt, of_w, nw,
             jnp.float32(reg_strength), jnp.float32(weight_decay), **solver_kw,
         )
         comp_core = np.asarray(comp[s - x0 : s - x0 + (e - s)])
+        solve_iters.append(int(jax.device_get(it_dev)))
         t1 = time.perf_counter()
         t_solve += t1 - t_p
         label = merge_regions_device(
@@ -276,6 +278,7 @@ def chunked_cutpursuit_device(
     t_group = time.perf_counter() - t0
     LAST_CP_STATS.update(
         n=n, n_chunks=n_chunks, morton=round(t_morton, 2),
+        solve_iters=solve_iters,
         prep=round(t_prep, 2), solve=round(t_solve, 2),
         chunk_merge=round(t_merge, 2), heal=round(t_heal, 2),
         group=round(t_group, 2),

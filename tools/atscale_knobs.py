@@ -189,6 +189,10 @@ def main():
             "chunked_strong", max_iter=16, flow_steps=3, icm_sweeps=5,
             power_iters=12,
         )
+    if "chunked_region" in legs:
+        run_chunked("chunked_region", accept="region")
+    if "chunked_region16" in legs:
+        run_chunked("chunked_region16", accept="region", max_iter=16)
 
     def run_mono(name, **kw):
         from superpoint_graph_tpu.ops.cutpursuit import merge_regions
@@ -215,6 +219,10 @@ def main():
             "mono_strong", max_iter=16, flow_steps=3, icm_sweeps=5,
             power_iters=12,
         )
+    if "mono_region" in legs:
+        run_mono("mono_region", accept="region")
+    if "mono_region16" in legs:
+        run_mono("mono_region16", accept="region", max_iter=16)
 
     print(json.dumps(results))
 
