@@ -49,6 +49,34 @@ PAD = int(os.environ.get("SPGT_BAND_PAD", "256"))    # guard cols each side
 WIN = B + 2 * PAD
 BIG = jnp.int32(2**30)
 
+# SIZE-AWARE geometry (VERDICT r4 weak-#3/next-#5): the narrow band above is
+# a MEMORY trade for 2^19..2^20-point giant-path chunks; serving the 60k
+# bench room with it cost ~14% end-to-end (t_cp 0.405 -> 0.501 s, r3 vs r4
+# BENCH) — more CC rounds (a band sweep only moves labels WIN/2 positions)
+# and ~2x the overflow edges. Small solves therefore use the SQUARE
+# geometry (B = PAD = 1024), whose band at n <= SQUARE_MAX_N is <= 0.8 GB
+# bf16 (plus an f32 build transient) — nowhere near the giant-path memory
+# wall. The geometry is threaded through every banded primitive as a static
+# `geom=(B, PAD)` pair so both executable families coexist in one process.
+GEOM_NARROW = (B, PAD)
+GEOM_SQUARE = (
+    int(os.environ.get("SPGT_BAND_B_SMALL", "1024")),
+    int(os.environ.get("SPGT_BAND_PAD_SMALL", "1024")),
+)
+SQUARE_MAX_N = int(os.environ.get("SPGT_BAND_SQUARE_MAX_N", str(1 << 17)))
+
+
+def geom_for(n: int) -> tuple[int, int]:
+    """Band geometry for an n-point solve: square below SQUARE_MAX_N (fast,
+    fewer CC rounds / overflow edges), narrow above (fits giant chunks)."""
+    return GEOM_SQUARE if n <= SQUARE_MAX_N else GEOM_NARROW
+
+
+def _geom(geom) -> tuple[int, int, int]:
+    """Resolve a (B, PAD) pair (None -> module default) to (B, PAD, WIN)."""
+    b, pad = geom if geom is not None else (B, PAD)
+    return b, pad, b + 2 * pad
+
 # Observability for roofline accounting (bench.py): per solve, the wrapper
 # records the executed outer-iteration count and the band shape so analytic
 # FLOPs/bytes can use ACTUAL trip counts instead of static upper bounds.
@@ -120,14 +148,16 @@ def dedup_of_host(of_src, of_tgt, of_w, n_pad: int):
     okey_s = okey[order]
     first = np.ones(len(okey_s), bool)
     first[1:] = okey_s[1:] != okey_s[:-1]
-    rid = np.cumsum(first) - 1
-    w_sum = np.zeros(int(rid[-1]) + 1, np.float32)
-    np.add.at(w_sum, rid, of_w[order])
+    # sum duplicate runs of the key-sorted weights: reduceat over run starts
+    # (np.add.at runs ~25M/s on this 1-core host — CLAUDE.md round-3 lesson)
+    w_sum = np.add.reduceat(of_w[order], np.flatnonzero(first)).astype(
+        np.float32
+    )
     return of_src[order][first], of_tgt[order][first], w_sum
 
 
 def split_band_edges(n_pad: int, src: np.ndarray, tgt: np.ndarray,
-                     w: np.ndarray):
+                     w: np.ndarray, geom: tuple[int, int] | None = None):
     """Split symmetrized directed edges into in-window and overflow.
 
     A directed edge (i -> j) is in-band iff BOTH directions fall inside
@@ -137,10 +167,11 @@ def split_band_edges(n_pad: int, src: np.ndarray, tgt: np.ndarray,
     Returns (flat_idx_in_band, w_in_band, src_of, tgt_of, w_of); flat_idx
     indexes the flattened [n_pad, WIN] band as i*WIN + (j - (i//B)*B + PAD).
     """
-    cs = tgt - (src // B) * B + PAD
-    ct = src - (tgt // B) * B + PAD
-    inband = (cs >= 0) & (cs < WIN) & (ct >= 0) & (ct < WIN)
-    flat = src[inband].astype(np.int64) * WIN + cs[inband]
+    b, pad, win = _geom(geom)
+    cs = tgt - (src // b) * b + pad
+    ct = src - (tgt // b) * b + pad
+    inband = (cs >= 0) & (cs < win) & (ct >= 0) & (ct < win)
+    flat = src[inband].astype(np.int64) * win + cs[inband]
     return (
         flat,
         w[inband].astype(np.float32),
@@ -155,48 +186,49 @@ def split_band_edges(n_pad: int, src: np.ndarray, tgt: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def band_windows(v, fill):
+def band_windows(v, fill, geom: tuple[int, int] | None = None):
     """[n] vector -> [NB, WIN] window matrix (column c of block row p holds
     v[p*B - PAD + c], out-of-range positions = fill).
 
     Built as a concat of B-strided slices of the padded vector — gather-free
     for ANY (B, PAD): part s (columns [s, s+B)) is v_pad[s : s+n] reshaped
     to [NB, B]."""
+    b, pad, win = _geom(geom)
     n = v.shape[0]
-    nb = n // B
+    nb = n // b
     v_pad = jnp.concatenate([
-        jnp.full((PAD,), fill, v.dtype), v, jnp.full((B + PAD,), fill, v.dtype)
+        jnp.full((pad,), fill, v.dtype), v, jnp.full((b + pad,), fill, v.dtype)
     ])
     parts = []
-    for s in range(0, WIN, B):
-        width = min(B, WIN - s)
-        parts.append(v_pad[s : s + n].reshape(nb, B)[:, :width])
+    for s in range(0, win, b):
+        width = min(b, win - s)
+        parts.append(v_pad[s : s + n].reshape(nb, b)[:, :width])
     return jnp.concatenate(parts, axis=1)
 
 
-def cc_band_sweeps(lab, same_band, n_sweeps: int):
+def cc_band_sweeps(lab, same_band, n_sweeps: int,
+                   geom: tuple[int, int] | None = None):
     """`n_sweeps` Jacobi min-propagation sweeps over the band.
 
     same_band: [NB, B, WIN] bool — in-band edge present AND same (comp, b).
     """
-    nb = lab.shape[0] // B
     for _ in range(n_sweeps):
-        labw = band_windows(lab, BIG)  # [NB, WIN]
+        labw = band_windows(lab, BIG, geom)  # [NB, WIN]
         cand = jnp.where(same_band, labw[:, None, :], BIG)
         lab = jnp.minimum(lab, jnp.min(cand, axis=2).reshape(-1))
     return lab
 
 
-def cc_band_sweeps_key(lab, adj8, keyw, key2, n_sweeps: int):
+def cc_band_sweeps_key(lab, adj8, keyw, key2, n_sweeps: int,
+                       geom: tuple[int, int] | None = None):
     """`n_sweeps` Jacobi min-propagation sweeps with the same-(comp, b) mask
     fused into the sweep: per sweep the only band-sized read is the int8
     adjacency (built once per SOLVE — vs `cc_band_sweeps`, which streams a
     [NB, B, WIN] bool rebuilt per CC call). keyw = band_windows(key) and
     key2 = key.reshape(nb, B)[:, :, None] are tiny loop-invariant windows;
     the compare/select/min chain fuses into the adjacency read."""
-    nb = lab.shape[0] // B
     for _ in range(n_sweeps):
-        labw = band_windows(lab, BIG)  # [NB, WIN]
+        labw = band_windows(lab, BIG, geom)  # [NB, WIN]
         cand = jnp.where(
             (adj8 != 0) & (keyw[:, None, :] == key2), labw[:, None, :], BIG
         )
@@ -249,7 +281,7 @@ def _seg_mean(data, seg, n, weights):
     jax.jit,
     static_argnames=(
         "max_iter", "icm_sweeps", "flow_steps", "power_iters", "cc_rounds",
-        "cc_sweeps_per_round", "cc_hooks", "cc_jumps", "accept",
+        "cc_sweeps_per_round", "cc_hooks", "cc_jumps", "accept", "geom",
     ),
 )
 def _solve_band(
@@ -271,6 +303,7 @@ def _solve_band(
     cc_hooks: int = 1,
     cc_jumps: int = 3,
     accept: str = "global",
+    geom: tuple[int, int] | None = None,
 ):
     # (A fused Mosaic Gauss-Seidel CC + masked-matvec ICM variant was built
     # and profiled in round 4 — it LOST to this XLA form at the square
@@ -278,8 +311,9 @@ def _solve_band(
     # 33.8 s vs 5.7 s at 2^19) and Mosaic's 1024-aligned dynamic-VMEM-slice
     # constraint rules it out entirely at the narrow PAD geometry that wins;
     # see git history for ops/band_pallas.py.)
+    bB, _, _ = _geom(geom)
     n, d = f.shape
-    nb = n // B
+    nb = n // bB
     iota = jnp.arange(n, dtype=jnp.int32)
     parity = (iota % 2).astype(bool)
     # the one materialized band-sized mask: adjacency (bool, 1 byte/slot) —
@@ -293,11 +327,11 @@ def _solve_band(
 
     def energy_of(comp, mean):
         fid = jnp.sum(nw * jnp.sum((f - mean[comp]) ** 2, axis=1))
-        compw = band_windows(comp, jnp.int32(-1))
+        compw = band_windows(comp, jnp.int32(-1), geom)
         cross_band = jnp.sum(
             jnp.where(
                 band_adj
-                & (compw[:, None, :] != comp.reshape(nb, B)[:, :, None]),
+                & (compw[:, None, :] != comp.reshape(nb, bB)[:, :, None]),
                 band_w,
                 jnp.bfloat16(0.0),
             ).astype(jnp.float32)
@@ -323,13 +357,13 @@ def _solve_band(
         # (component, split side) fused into one comparison key
         key = comp * 2 + b.astype(jnp.int32)
         of_same = (key[of_src] == key[of_tgt]) & (of_w > 0.0)
-        keyw = band_windows(key, jnp.int32(-1))
-        key2 = key.reshape(nb, B)[:, :, None]
+        keyw = band_windows(key, jnp.int32(-1), geom)
+        key2 = key.reshape(nb, bB)[:, :, None]
 
         def round_body(state):
             lab, _, i = state
             new = cc_band_sweeps_key(
-                lab, band_adj, keyw, key2, cc_sweeps_per_round
+                lab, band_adj, keyw, key2, cc_sweeps_per_round, geom
             )
             # overflow hook: relax out-of-band edges exactly (one-sided —
             # the list is direction-symmetric); hook+jump repeated cc_hooks
@@ -375,10 +409,10 @@ def _solve_band(
 
         # intra-region weighted band, materialized once per outer iteration
         # and read by all 2*icm_sweeps*flow_steps matvec sweeps below
-        compw = band_windows(comp, jnp.int32(-1))
+        compw = band_windows(comp, jnp.int32(-1), geom)
         w_intra = jnp.where(
             band_adj
-            & (compw[:, None, :] == comp.reshape(nb, B)[:, :, None]),
+            & (compw[:, None, :] == comp.reshape(nb, bB)[:, :, None]),
             band_w,
             jnp.bfloat16(0.0),
         )
@@ -426,7 +460,7 @@ def _solve_band(
                 spin = jnp.bfloat16(1.0) - jnp.bfloat16(2.0) * b.astype(
                     jnp.bfloat16
                 )
-                bw = band_windows(spin, jnp.bfloat16(0.0))
+                bw = band_windows(spin, jnp.bfloat16(0.0), geom)
                 # batched matvec: the MXU reads w_intra once per sweep
                 # with no materialized [NB, B, WIN] broadcast product
                 band_field = jnp.einsum(
@@ -471,10 +505,10 @@ def _solve_band(
                 fn_node - fo_node, comp, num_segments=n
             )
             fo_reg = jax.ops.segment_sum(fo_node, comp, num_segments=n)
-            compw = band_windows(comp, jnp.int32(-1))
-            comp2 = comp.reshape(nb, B)[:, :, None]
-            ncw = band_windows(new_comp, jnp.int32(-1))
-            nc2 = new_comp.reshape(nb, B)[:, :, None]
+            compw = band_windows(comp, jnp.int32(-1), geom)
+            comp2 = comp.reshape(nb, bB)[:, :, None]
+            ncw = band_windows(new_comp, jnp.int32(-1), geom)
+            nc2 = new_comp.reshape(nb, bB)[:, :, None]
             cut_node = jnp.sum(
                 jnp.where(
                     band_adj
@@ -544,7 +578,7 @@ def _solve_band(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("k_adj", "of_cap"))
+@partial(jax.jit, static_argnames=("k_adj", "of_cap", "geom"))
 def _prep_band_device(
     f,          # [n_pad, d] features (original order, pads arbitrary)
     idx_adj,    # [n_pad, k_adj] int32 kNN neighbors (pads self-referential ok)
@@ -556,10 +590,12 @@ def _prep_band_device(
     *,
     k_adj: int,
     of_cap: int,
+    geom: tuple[int, int] | None = None,
 ):
     """Device-side band construction straight from the kNN output — the
     one-program partition path (nothing but the final labels crosses the
     tunnel). Returns (f_p, band_w, of_src, of_tgt, of_w, nw, of_count)."""
+    bB, bPAD, bWIN = _geom(geom)
     n_pad = f.shape[0]
     iota = jnp.arange(n_pad, dtype=jnp.int32)
     real = iota < n_real
@@ -582,17 +618,17 @@ def _prep_band_device(
     tgt = jnp.concatenate([pt, ps])
     w = jnp.concatenate([w0, w0])
 
-    c = tgt - (src // B) * B + PAD
-    c_rev = src - (tgt // B) * B + PAD
+    c = tgt - (src // bB) * bB + bPAD
+    c_rev = src - (tgt // bB) * bB + bPAD
     inband = (
-        (c >= 0) & (c < WIN) & (c_rev >= 0) & (c_rev < WIN) & (w > 0.0)
+        (c >= 0) & (c < bWIN) & (c_rev >= 0) & (c_rev < bWIN) & (w > 0.0)
     )
     # 2D scatter (row, col) keeps indices int32 at any cloud size
-    band = jnp.zeros((n_pad, WIN), jnp.float32)
+    band = jnp.zeros((n_pad, bWIN), jnp.float32)
     band = band.at[
         jnp.where(inband, src, 0), jnp.where(inband, c, 0)
     ].add(jnp.where(inband, w, 0.0))
-    band_w = band.reshape(n_pad // B, B, WIN).astype(jnp.bfloat16)
+    band_w = band.reshape(n_pad // bB, bB, bWIN).astype(jnp.bfloat16)
 
     # overflow edges -> compacted static-capacity list via cumsum positions
     is_of = (~inband) & (w > 0.0)
@@ -666,6 +702,8 @@ def _prep_band_chunk(
     inband = (
         (c >= 0) & (c < WIN) & (c_rev >= 0) & (c_rev < WIN) & (w > 0.0)
     )
+    # (giant-path chunks always use the module NARROW geometry — the whole
+    # point of the narrow band is fitting these chunk shapes in HBM)
     band = jnp.zeros((chunk_pad, WIN), jnp.bfloat16)
     band = band.at[
         jnp.where(inband, src, 0), jnp.where(inband, c, 0)
@@ -711,7 +749,9 @@ def cutpursuit_band_device(
     only the final labels come back. Returns in_component [n] (pre-merge,
     original order, root-densified)."""
     n_pad = f_dev.shape[0]
-    assert n_pad % B == 0, "caller buckets n_pad to a power of two >= 1024"
+    geom = solver_kw.pop("geom", None) or geom_for(n)
+    bB = _geom(geom)[0]
+    assert n_pad % bB == 0, "caller buckets n_pad to a power of two >= 1024"
     perm = morton_order(np.asarray(xyz[:n]))
     perm_full = np.concatenate([perm, np.arange(n, n_pad)]).astype(np.int32)
     inv = np.empty(n_pad, np.int32)
@@ -731,6 +771,7 @@ def cutpursuit_band_device(
             jnp.float32(lambda_edge_weight),
             k_adj=k_adj,
             of_cap=of_cap,
+            geom=geom,
         )
     )
     # compact the overflow list to its actual (bucketed, DEDUPED) length:
@@ -745,14 +786,16 @@ def cutpursuit_band_device(
         of_src, of_tgt, of_w = (
             of_src[:cap2], of_tgt[:cap2], of_w[:cap2]
         )
-    comp, _, iters, ccr = _solve_band(
+    comp, energy, iters, ccr = _solve_band(
         f_p, band_w, of_src, of_tgt, of_w, nw,
-        jnp.float32(reg_strength), jnp.float32(weight_decay), **solver_kw,
+        jnp.float32(reg_strength), jnp.float32(weight_decay), geom=geom,
+        **solver_kw,
     )
     comp_h = np.asarray(comp)
     LAST_SOLVE_STATS.update(
-        n_pad=int(n_pad), win=WIN, d=int(f_p.shape[1]),
+        n_pad=int(n_pad), win=_geom(geom)[2], d=int(f_p.shape[1]),
         iters=int(jax.device_get(iters)), cc_rounds=int(jax.device_get(ccr)),
+        energy=float(jax.device_get(energy)),
     )
     comp_h = comp_h[inv[:n]]  # back to original order
     _, first_pos, invc = np.unique(
@@ -762,8 +805,9 @@ def cutpursuit_band_device(
     return order[invc].astype(np.int32)
 
 
-@partial(jax.jit, static_argnames=("n",))
-def _build_band(n: int, row_idx, col_idx, flat_w):
+@partial(jax.jit, static_argnames=("n", "geom"))
+def _build_band(n: int, row_idx, col_idx, flat_w,
+                geom: tuple[int, int] | None = None):
     """Scatter in-window edge weights into the [NB, B, WIN] band (summing
     duplicates, like the dense-K builder). Padding entries carry zero weight
     (index 0, weight 0 — a no-op add). 2D (row, col) scatter so indices stay
@@ -772,9 +816,10 @@ def _build_band(n: int, row_idx, col_idx, flat_w):
     # with ~0.4% worst-case rounding — below the band's own quantization
     # noise, and it halves the build's peak HBM (an f32 buffer + bf16 copy
     # OOMed at n_pad 2^20)
-    band = jnp.zeros((n, WIN), jnp.bfloat16)
+    bB, _, bWIN = _geom(geom)
+    band = jnp.zeros((n, bWIN), jnp.bfloat16)
     band = band.at[row_idx, col_idx].add(flat_w.astype(jnp.bfloat16))
-    return band.reshape(n // B, B, WIN)
+    return band.reshape(n // bB, bB, bWIN)
 
 
 def cutpursuit_band(
@@ -820,11 +865,13 @@ def cutpursuit_band(
     inv = np.empty_like(perm)
     inv[perm] = np.arange(n)
 
-    n_pad = -(-max(n, B) // B) * B
+    geom = solver_kw.pop("geom", None) or geom_for(n)
+    bB = _geom(geom)[0]
+    n_pad = -(-max(n, bB) // bB) * bB
     # bucket block count to powers of two for executable reuse
-    nb = n_pad // B
+    nb = n_pad // bB
     nb_pad = 1 << int(np.ceil(np.log2(max(nb, 2))))
-    n_pad = nb_pad * B
+    n_pad = nb_pad * bB
 
     f_p = np.zeros((n_pad, f.shape[1]), np.float32)
     f_p[:n] = f[perm]
@@ -842,7 +889,7 @@ def cutpursuit_band(
     dw = np.concatenate([w, w]).astype(np.float32)
 
     flat_idx, flat_w, of_src, of_tgt, of_w = split_band_edges(
-        n_pad, ds, dt, dw
+        n_pad, ds, dt, dw, geom
     )
     of_src, of_tgt, of_w = dedup_of_host(of_src, of_tgt, of_w, n_pad)
     # pad overflow list to a bucketed length (self-loops with zero weight)
@@ -860,14 +907,16 @@ def cutpursuit_band(
     row_p = np.zeros(e_in, np.int32)
     col_p = np.zeros(e_in, np.int32)
     flat_w_p = np.zeros(e_in, np.float32)
-    row_p[: len(flat_idx)] = (flat_idx // WIN).astype(np.int32)
-    col_p[: len(flat_idx)] = (flat_idx % WIN).astype(np.int32)
+    bWIN = _geom(geom)[2]
+    row_p[: len(flat_idx)] = (flat_idx // bWIN).astype(np.int32)
+    col_p[: len(flat_idx)] = (flat_idx % bWIN).astype(np.int32)
     flat_w_p[: len(flat_w)] = flat_w
 
     band_w = _build_band(
-        n_pad, jnp.asarray(row_p), jnp.asarray(col_p), jnp.asarray(flat_w_p)
+        n_pad, jnp.asarray(row_p), jnp.asarray(col_p), jnp.asarray(flat_w_p),
+        geom,
     )
-    comp, _, iters, ccr = _solve_band(
+    comp, energy, iters, ccr = _solve_band(
         jnp.asarray(f_p),
         band_w,
         jnp.asarray(of_src_p),
@@ -876,12 +925,14 @@ def cutpursuit_band(
         jnp.asarray(nw_p),
         jnp.float32(reg_strength),
         jnp.float32(weight_decay),
+        geom=geom,
         **solver_kw,
     )
     comp = np.asarray(comp)[:n][inv]  # back to original vertex order
     LAST_SOLVE_STATS.update(
-        n_pad=int(n_pad), win=WIN, d=int(f.shape[1]),
+        n_pad=int(n_pad), win=_geom(geom)[2], d=int(f.shape[1]),
         iters=int(jax.device_get(iters)), cc_rounds=int(jax.device_get(ccr)),
+        energy=float(jax.device_get(energy)),
     )
 
     _, first_pos, invc = np.unique(comp, return_index=True, return_inverse=True)

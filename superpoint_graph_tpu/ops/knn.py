@@ -31,6 +31,12 @@ import numpy as np
 
 _INF = jnp.float32(3.4e38)
 
+# db-tile width for the radius sampler / straggler brute-force legs, and the
+# alignment contract a reusable device db must satisfy (every bucketed db
+# size is a multiple). 65536-wide approx_min_k tiles are the round-2 compile
+# pathology (CLAUDE.md); 8192 tiles compile benignly.
+SAMPLE_DB_BLOCK = 8192
+
 
 def _pad_rows(x: jax.Array, to: int, fill: float = 0.0) -> jax.Array:
     n = x.shape[0]
@@ -579,9 +585,9 @@ def _sample_knn_radius(
     """Exact k-th-neighbor distance for a random sample of points (blocked
     brute force on device); returns (quantile radius, per-sample r_k).
 
-    `db_dev`: an already-resident far-padded [n_db, 3] db (n_db % 65536
-    == 0) to search against — skips rebuilding + re-uploading the padded
-    cloud (~40 MB over the tunnel at 1e7)."""
+    `db_dev`: an already-resident far-padded [n_db, 3] db (n_db %
+    SAMPLE_DB_BLOCK == 0) to search against — skips rebuilding +
+    re-uploading the padded cloud (~40 MB over the tunnel at 1e7)."""
     n = len(xyz)
     rs = np.random.RandomState(0)
     sel = rs.choice(n, size=min(sample, n), replace=False)
@@ -596,7 +602,7 @@ def _sample_knn_radius(
     # tools/cache_diag_results.json / r4 knn-cold legs); narrow tiles are the
     # same class as the level-search windows (benign), the scan just runs
     # more, cheap MXU tiles
-    bdb = 8192
+    bdb = SAMPLE_DB_BLOCK
     if db_dev is not None:
         assert db_dev.shape[0] % bdb == 0
         idx, d2 = knn_vs_db_jit(
@@ -702,8 +708,9 @@ def knn_bigcloud(
     t0 = time.perf_counter()
     # radius sampling (and the final straggler fallback) brute-force against
     # the SAME resident padded db when its row count divides the db block —
-    # always true on the bucketed >1M path
-    db_dev = xyz_dev if n_db % 65536 == 0 else None
+    # always true on the bucketed paths (every bucket is a multiple of
+    # SAMPLE_DB_BLOCK)
+    db_dev = xyz_dev if n_db % SAMPLE_DB_BLOCK == 0 else None
     _, rk = _sample_knn_radius(xyz, k, db_dev=db_dev)
     ladder = [
         max(float(np.quantile(rk, q)) * m, 1e-6) for q, m in level_quantiles
@@ -885,7 +892,7 @@ def knn_bigcloud(
     if n_bad:
         fidx = pending.astype(np.int64)
         bq = 256
-        bdb_fb = 8192  # same 65536-wide approx_min_k pathology as above
+        bdb_fb = SAMPLE_DB_BLOCK  # 65536-wide approx_min_k pathology as above
         # bucket query rows to powers of two and db rows to 2^20 granularity
         # so straggler counts / cloud sizes reuse executables; recall 0.95
         # (vs 0.99) cuts this one-shot compile ~10x — stragglers then see

@@ -216,3 +216,152 @@ class TestOverflowDedup:
         e_a = partition_energy(f, ic_a, src, tgt, ew, 0.3)
         e_b = partition_energy(f, ic_b, src, tgt, ew, 0.3)
         assert abs(e_a - e_b) <= 1e-3 * max(abs(e_a), 1.0)
+
+
+class TestRegionAccept:
+    """Per-region split accept (accept='region') — the chunked giant-path
+    default (pipeline_big). Oracle checks for the separable per-region
+    energy-delta tracking in ops/cutpursuit_band._solve_band (the running
+    energy is energy0 + sum of accepted per-region deltas; a sign or
+    attribution bug there would silently degrade partitions)."""
+
+    def _solve(self, f, src, tgt, ew, reg, accept, **kw):
+        from superpoint_graph_tpu.ops.cutpursuit_band import LAST_SOLVE_STATS
+
+        _, ic = cutpursuit_band(
+            f, src, tgt, ew, reg, merge=False, accept=accept, **kw
+        )
+        return ic, LAST_SOLVE_STATS["energy"]
+
+    def test_tracked_energy_matches_recomputed(self):
+        """The tracked running energy (energy0 + accepted deltas) must equal
+        the final partition's true l0 energy recomputed from scratch (the
+        band is bf16, so a small quantization tolerance applies)."""
+        h, w = 16, 16
+        src, tgt = grid_graph(h, w)
+        ew = np.ones(len(src), np.float32)
+        for trial in range(4):
+            r = np.random.RandomState(trial)
+            f = r.rand(h * w, 3).astype(np.float32)
+            band = ((np.arange(h * w).reshape(h, w) % w) // 5).ravel()
+            f += np.stack([band == i for i in range(3)], 1).astype(
+                np.float32
+            ) * 1.2
+            ic, e_tracked = self._solve(f, src, tgt, ew, 0.2, "region")
+            e_true = partition_energy(f, ic, src, tgt, ew, 0.2)
+            assert abs(e_tracked - e_true) <= 0.02 * max(e_true, 1e-9) + 1e-4, (
+                trial, e_tracked, e_true,
+            )
+
+    def test_region_not_worse_than_global(self):
+        """Global accept rejects a whole outer iteration whenever ANY region's
+        ICM split worsened energy (and then ends the loop); region accept
+        keeps the good regions' splits. Across random piecewise fields the
+        region-accept final energy must never be materially worse, and must
+        win on average."""
+        h, w = 14, 14
+        src, tgt = grid_graph(h, w)
+        ew = np.ones(len(src), np.float32)
+        ratios = []
+        for trial in range(6):
+            r = np.random.RandomState(100 + trial)
+            f = r.rand(h * w, 4).astype(np.float32)
+            band = ((np.arange(h * w).reshape(h, w) % w) // 4).ravel()
+            f += np.stack([band == i for i in range(4)], 1).astype(
+                np.float32
+            ) * 1.5
+            ic_r, _ = self._solve(f, src, tgt, ew, 0.3, "region", max_iter=16)
+            ic_g, _ = self._solve(f, src, tgt, ew, 0.3, "global")
+            e_r = partition_energy(f, ic_r, src, tgt, ew, 0.3)
+            e_g = partition_energy(f, ic_g, src, tgt, ew, 0.3)
+            ratios.append(e_r / max(e_g, 1e-9))
+        assert max(ratios) < 1.05, ratios
+        assert np.mean(ratios) <= 1.0 + 1e-6, ratios
+
+    def test_two_clusters_recovered(self, rng):
+        h, w = 8, 12
+        src, tgt = grid_graph(h, w)
+        ew = np.ones(len(src))
+        f = np.zeros((h * w, 2), np.float32)
+        gt = (np.arange(h * w).reshape(h, w) % w >= w // 2).ravel()
+        f[gt] = [1.0, 0.5]
+        f += rng.randn(h * w, 2).astype(np.float32) * 0.02
+        comps, in_comp = cutpursuit_band(
+            f, src, tgt, ew, reg_strength=0.1, accept="region", max_iter=16
+        )
+        assert len(comps) == 2
+        side = in_comp == in_comp[np.flatnonzero(gt)[0]]
+        assert np.array_equal(side, gt)
+
+    def test_energy_close_to_exact(self):
+        """Region accept must stay within the max-flow oracle's energy class
+        (same statistical bound as the global-accept solver)."""
+        h, w = 10, 10
+        src, tgt = grid_graph(h, w)
+        ew = np.ones(len(src))
+        ratios = []
+        for trial in range(3):
+            r = np.random.RandomState(trial)
+            f = r.rand(h * w, 4).astype(np.float32)
+            band = ((np.arange(h * w).reshape(h, w) % w) // (w // 3 + 1)).ravel()
+            f += np.stack([band == i for i in range(4)], 1).astype(
+                np.float32
+            ) * 1.5
+            _, ic_h = cp_host.cutpursuit(f, src, tgt, ew, 0.3)
+            _, ic_b = cutpursuit_band(
+                f, src, tgt, ew, 0.3, accept="region", max_iter=16
+            )
+            e_h = partition_energy(f, ic_h, src, tgt, ew, 0.3)
+            e_b = partition_energy(f, ic_b, src, tgt, ew, 0.3)
+            ratios.append(e_b / max(e_h, 1e-9))
+        assert np.mean(ratios) < 1.10, ratios
+
+    def test_padding_invariance(self):
+        """The per-region accept's segment reductions run over PADDED arrays
+        (pad nodes carry nw=0 and share label 0 with real nodes): solving the
+        same real graph at two pad sizes must give identical real labels."""
+        import jax.numpy as jnp
+
+        from superpoint_graph_tpu.ops.cutpursuit_band import (
+            B, _build_band, _solve_band, split_band_edges,
+        )
+
+        r = np.random.RandomState(3)
+        n = 700
+        f = r.rand(n, 3).astype(np.float32)
+        f[: n // 2] += 1.0
+        src = np.arange(n - 1, dtype=np.int64)
+        tgt = np.arange(1, n, dtype=np.int64)
+        w = np.ones(n - 1, np.float32)
+        labels = []
+        for n_pad in (max(B, 1024), max(2 * B, 2048)):
+            f_p = np.zeros((n_pad, 3), np.float32)
+            f_p[:n] = f
+            nw = np.zeros(n_pad, np.float32)
+            nw[:n] = 1.0
+            ds = np.concatenate([src, tgt]).astype(np.int32)
+            dt = np.concatenate([tgt, src]).astype(np.int32)
+            dw = np.concatenate([w, w])
+            flat, fw, os_, ot_, ow_ = split_band_edges(n_pad, ds, dt, dw)
+            from superpoint_graph_tpu.ops import cutpursuit_band as cb
+
+            row = (flat // cb.WIN).astype(np.int32)
+            col = (flat % cb.WIN).astype(np.int32)
+            band = _build_band(
+                n_pad, jnp.asarray(row), jnp.asarray(col), jnp.asarray(fw)
+            )
+            e_of = max(16, len(os_))
+            osp = np.zeros(e_of, np.int32)
+            otp = np.zeros(e_of, np.int32)
+            owp = np.zeros(e_of, np.float32)
+            osp[: len(os_)], otp[: len(ot_)], owp[: len(ow_)] = os_, ot_, ow_
+            comp, _, _, _ = _solve_band(
+                jnp.asarray(f_p), band, jnp.asarray(osp), jnp.asarray(otp),
+                jnp.asarray(owp), jnp.asarray(nw), jnp.float32(0.2),
+                accept="region", max_iter=16,
+            )
+            lab = np.asarray(comp)[:n]
+            # canonical first-occurrence renumbering
+            _, first, inv = np.unique(lab, return_index=True, return_inverse=True)
+            labels.append(np.argsort(np.argsort(first))[inv])
+        np.testing.assert_array_equal(labels[0], labels[1])
