@@ -85,6 +85,39 @@ def connected_components(
     return components, in_comp.astype(np.int32)
 
 
+def relabel_connected(
+    n_ver: int,
+    source: np.ndarray,
+    target: np.ndarray,
+    in_component: np.ndarray,
+    cutoff: int = 0,
+):
+    """Enforce the connected-components contract on arbitrary labels.
+
+    Every consumer of a partition assumes a component's vertex set is
+    CONNECTED in the adjacency graph (the reference's components ARE graph
+    CCs by construction — partition/ply_c/connected_components.cpp:17-110;
+    SPG centroids/eigen stats in graph/spg.py average over them). The
+    chunked giant-cloud solver can violate this: a halo-extended chunk
+    label restricted to the chunk CORE may be connected only through halo
+    vertices outside the core. This pass relabels each (label, graph-CC)
+    pair as its own component — splitting any disconnected label — and
+    applies the same small-component fuse as `connected_components` when
+    `cutoff` > 0. Prefers the native C++ union-find (one pass over the edge
+    list) over the scipy path for giant edge lists.
+
+    Returns (components, in_component) in first-occurrence dense order.
+    """
+    source = np.asarray(source)
+    target = np.asarray(target)
+    active = in_component[source] == in_component[target]
+    from .. import native
+
+    if native.available():
+        return native.connected_comp(n_ver, source, target, active, cutoff)
+    return connected_components(n_ver, source, target, active, cutoff)
+
+
 def _fuse_small(in_comp, source, target, inactive_mask, cutoff):
     """Absorb components of size < cutoff into their largest neighbor seen
     through inactive edges (connected_components.cpp:41-110), fully

@@ -119,6 +119,10 @@ def chunked_cutpursuit_sharded(
     host (streamed in per-device slabs); each device holds only its slab +
     halo. Returns (components, in_component) — same contract as
     `pipeline_big.chunked_cutpursuit_device`."""
+    # chunked-path solver defaults (see pipeline_big.chunked_cutpursuit):
+    # per-region accept + max_iter=16
+    solver_kw.setdefault("accept", "region")
+    solver_kw.setdefault("max_iter", 16)
     n, d = features.shape
     k_adj = int(idx_adj.shape[1])
     n_dev = mesh.shape[axis]
@@ -356,14 +360,12 @@ def chunked_cutpursuit_sharded(
     )
     in_comp = _densify_first_occurrence(label[in_comp]).astype(np.int64)
 
-    if cutoff > 0:
-        from ..ops.components import connected_components
+    # connectivity contract (+ cutoff fuse): core-restricted slab labels can
+    # be connected only through halo rows — split them into true graph CCs
+    # (same invariant as pipeline_big.chunked_cutpursuit_device)
+    from ..ops.components import relabel_connected
 
-        active = in_comp[src_h] == in_comp[tgt_h]
-        _, in_comp = connected_components(n, src_h, tgt_h, active, cutoff)
-    from ..ops.components import group_components
-
-    components = group_components(in_comp)
+    components, in_comp = relabel_connected(n, src_h, tgt_h, in_comp, cutoff)
     return components, in_comp.astype(np.int32)
 
 

@@ -31,7 +31,7 @@ import numpy as np
 import jax
 from functools import partial
 
-from .ops.components import connected_components, group_components
+from .ops.components import relabel_connected
 from .ops.cutpursuit import _densify_first_occurrence, merge_regions
 from .ops.cutpursuit_band import (
     _prep_band_chunk, _solve_band, cutpursuit_band, morton_order,
@@ -71,6 +71,15 @@ def chunked_cutpursuit(
     Solves Morton-contiguous chunks independently (band solver, intra-chunk
     edges only), then heals chunk boundaries with the global backward merge
     step over the FULL edge list. Returns (components, in_component)."""
+    # Per-region split accept + deeper outer loop: the chunked-path default.
+    # Global accept lets ONE bad ICM split reject the whole outer iteration
+    # AND end the loop — at 656k voxels it under-segmented 2.2x vs the exact
+    # solver (6,725 comps vs 15,009, energy +16%); region accept recovers it
+    # (12,7xx comps, energy +7%, OOA 96.8) and is FASTER at max_iter=16
+    # (39 s vs 112 s) because rejected regions saturate instead of killing
+    # the iteration (tools/atscale_knobs_results.json).
+    solver_kw.setdefault("accept", "region")
+    solver_kw.setdefault("max_iter", 16)
     n = len(features)
     xyz = np.asarray(xyz)
     perm = morton_order(xyz)
@@ -122,10 +131,10 @@ def chunked_cutpursuit(
     in_comp = merge_regions(
         features, np.ones(n), in_comp, src, tgt, w, float(reg_strength)
     )
-    if cutoff > 0:
-        active = in_comp[src] == in_comp[tgt]
-        _, in_comp = connected_components(n, src, tgt, active, cutoff)
-    components = group_components(in_comp)
+    # connectivity contract: chunk-core label restriction can disconnect a
+    # label (connected only through halo vertices) — split such labels into
+    # true graph CCs, then fuse < cutoff (ops.components.relabel_connected)
+    components, in_comp = relabel_connected(n, src, tgt, in_comp, cutoff)
     return components, in_comp.astype(np.int32)
 
 
@@ -179,9 +188,22 @@ def chunked_cutpursuit_device(
     When `xyz_dev` is given the Morton permutation is computed on device
     (morton_perm_device — one lax.sort instead of ~35 s of host uint64
     bit-twiddling at 1e7). Returns (components, in_component)."""
+    # chunked-path solver defaults: per-region accept + max_iter=16 (see
+    # chunked_cutpursuit — fixes the 2.2x at-scale under-segmentation of
+    # global accept, faster end to end; tools/atscale_knobs_results.json)
+    solver_kw.setdefault("accept", "region")
+    solver_kw.setdefault("max_iter", 16)
     t_all0 = time.perf_counter()
     n = int(f_dev.shape[0])
     k_adj = int(idx_adj_dev.shape[1])
+    if src is None:
+        # the connectivity relabel below needs the host edge list; start the
+        # [n, k] adjacency fetch NOW so the tunnel transfer overlaps all the
+        # chunk solves instead of serializing after the heal
+        try:
+            idx_adj_dev.copy_to_host_async()
+        except Exception:
+            pass
     # the band layout needs whole blocks; round the window up to block size
     from .ops.cutpursuit_band import B as _BLK
 
@@ -268,13 +290,14 @@ def chunked_cutpursuit_device(
     t_heal = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    if cutoff > 0:
-        if src is None:
-            src = np.repeat(np.arange(n, dtype=np.int64), k_adj)
-            tgt = np.asarray(idx_adj_dev).reshape(-1).astype(np.int64)
-        active = in_comp[src] == in_comp[tgt]
-        _, in_comp = connected_components(n, src, tgt, active, cutoff)
-    components = group_components(in_comp)
+    if src is None:
+        src = np.repeat(np.arange(n, dtype=np.int64), k_adj)
+        tgt = np.asarray(idx_adj_dev).reshape(-1).astype(np.int64)
+    # connectivity contract (+ cutoff fuse): a chunk-core label restriction
+    # can be connected only through halo vertices outside the core — split
+    # such labels into true graph CCs (disconnected_labels receipts -> 0)
+    components, in_comp = relabel_connected(n, src, tgt, in_comp, cutoff)
+    in_comp = in_comp.astype(np.int64)
     t_group = time.perf_counter() - t0
     LAST_CP_STATS.update(
         n=n, n_chunks=n_chunks, morton=round(t_morton, 2),

@@ -356,13 +356,30 @@ class TestShardedHealAccounting:
             # in_component is a relabeling of the labels the pairs refer to
             return np.arange(n_comp)
 
+        # neutralize the final connectivity relabel (it SPLITS labels that
+        # are disconnected at chunk cores — correct for production, but this
+        # test needs the final in_component to be a pure relabeling of the
+        # labels the captured pairs refer to)
+        from superpoint_graph_tpu.ops import components as comp_mod
+        from superpoint_graph_tpu.ops.cutpursuit import (
+            _densify_first_occurrence,
+        )
+
+        real_relabel = comp_mod.relabel_connected
+
+        def fake_relabel(n_ver, s, t, ic, cutoff=0):
+            dense = _densify_first_occurrence(np.asarray(ic, np.int64))
+            return comp_mod.group_components(dense), dense.astype(np.int32)
+
         pbs.merge_rounds = spy
+        comp_mod.relabel_connected = fake_relabel
         try:
             _, ic = pbs.chunked_cutpursuit_sharded(
                 feats, xyz, idx, d2k, 0.1, mesh, chunk_points=512
             )
         finally:
             pbs.merge_rounds = real_merge
+            comp_mod.relabel_connected = real_relabel
 
         # brute-force: directed kNN edges, reference weights, pair sums
         src = np.repeat(np.arange(len(xyz)), 5)

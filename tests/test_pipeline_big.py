@@ -225,3 +225,57 @@ class TestChunkedCutPursuitDevice:
         )
         sizes = np.bincount(ic)
         assert sizes[sizes > 0].min() >= 5 or len(comps) == 1
+
+
+class TestConnectivityContract:
+    """A component's vertex set must be ONE connected component of the
+    adjacency graph (reference contract:
+    partition/ply_c/connected_components.cpp:17-110 — components ARE graph
+    CCs). The chunked paths can violate it at chunk-core boundaries (a label
+    connected only through halo vertices); ops.components.relabel_connected
+    enforces it. disconnected_labels must be 0 at every scale."""
+
+    @staticmethod
+    def _count_disconnected(ic, src, tgt):
+        import scipy.sparse as sp
+        from scipy.sparse.csgraph import connected_components as scipy_cc
+
+        n = len(ic)
+        same = ic[src] == ic[tgt]
+        adj = sp.csr_matrix(
+            (np.ones(same.sum(), np.int8), (src[same], tgt[same])),
+            shape=(n, n),
+        )
+        n_cc, _ = scipy_cc(adj, directed=False)
+        return n_cc - (ic.max() + 1)
+
+    def test_chunked_labels_are_connected(self, rng):
+        from superpoint_graph_tpu.data.synthetic import synthetic_room
+        from superpoint_graph_tpu.pipeline_big import chunked_cutpursuit
+
+        xyz, rgb, labels, objects = synthetic_room(rng, n_points=6000)
+        src, tgt, w = _knn_edges(xyz, 5)
+        feats = np.concatenate(
+            [xyz, rgb.astype(np.float32) / 255.0], axis=1
+        ).astype(np.float32)
+        _, ic = chunked_cutpursuit(
+            feats, xyz, src, tgt, w, 0.1, chunk_points=2000
+        )
+        assert self._count_disconnected(ic, src, tgt) == 0
+
+    def test_relabel_connected_splits_and_fuses(self):
+        from superpoint_graph_tpu.ops.components import relabel_connected
+
+        # path graph 0-1-2-3-4-5; label 0 covers {0,1, 4,5} (disconnected),
+        # label 1 covers {2,3}
+        src = np.arange(5, dtype=np.int64)
+        tgt = np.arange(1, 6, dtype=np.int64)
+        ic = np.array([0, 0, 1, 1, 0, 0])
+        comps, out = relabel_connected(6, src, tgt, ic, cutoff=0)
+        assert len(comps) == 3
+        assert out[0] == out[1] and out[4] == out[5] and out[0] != out[4]
+        assert out[2] == out[3]
+        # with cutoff=3 the 2-vertex pieces fuse into a neighbor through
+        # inactive edges — and stay connected
+        comps2, out2 = relabel_connected(6, src, tgt, ic, cutoff=3)
+        assert self._count_disconnected(out2, src, tgt) == 0
