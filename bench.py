@@ -229,11 +229,16 @@ def build_eval_batches(results, tmpdir):
         )
         samples.append(s)
         batches.append(collate_spg([s], cfg, 13, n_ch))
-    # one multi-room batch (reference trains batched, main.py:40 batch_size 2
-    # default): 4 full rooms per step for the batched-training MFU leg
-    reps = -(-4 // len(samples))
-    batch4 = collate_spg((samples * reps)[:4], cfg, 13, n_ch)
-    return batches, batch4
+    # multi-room batches (reference trains batched, main.py:40 batch_size 2
+    # default): 4- and 16-room unions for the batched-training MFU legs. The
+    # b4 step is mostly fixed per-step cost (dispatch + small-op overhead at
+    # ~7 ms/step), so the 16-room union amortizes it 4x further — the
+    # VERDICT r3-#9/r4-#8 train-efficiency lever.
+    def rep_batch(k):
+        reps = -(-k // len(samples))
+        return collate_spg((samples * reps)[:k], cfg, 13, n_ch)
+
+    return batches, rep_batch(4), rep_batch(16)
 
 
 def tpu_inference(batches):
@@ -265,13 +270,13 @@ def tpu_inference(batches):
     return best, flops / len(batches)
 
 
-def tpu_train(batches, batch4=None):
+def tpu_train(batches, batch4=None, batch16=None):
     """Steady-state train-step throughput on the flagship config — the
     reference's other headline loop (main.py:176-226). Measures single-room
-    steps (batch 1, the eval-batch shapes) and, when `batch4` is given, one
-    4-room batch per step (the reference's documented batched training,
+    steps (batch 1, the eval-batch shapes) and, when given, 4-room and
+    16-room unions per step (the reference's documented batched training,
     main.py:40). Returns (steps/sec b1, flops/step b1, steps/sec b4,
-    flops/step b4)."""
+    flops/step b4, steps/sec b16, flops/step b16)."""
     import jax
     import jax.numpy as jnp
 
@@ -297,21 +302,31 @@ def tpu_train(batches, batch4=None):
         float(loss)  # tunnel-safe sync
         best = min(best, (time.perf_counter() - t0) / (len(batches) * reps))
     if batch4 is None:
-        return 1.0 / best, flops / len(batches), float("nan"), float("nan")
+        return (1.0 / best, flops / len(batches), float("nan"), float("nan"),
+                float("nan"), float("nan"))
 
-    state4 = trainer.init(jax.random.PRNGKey(0), batch4)
-    state4, loss4, _ = trainer.train_step(state4, batch4, rng)
-    ca4 = trainer._train_step.lower(state4, batch4, rng).compile()
-    ca4 = ca4.cost_analysis()
-    flops4 = float((ca4[0] if isinstance(ca4, list) else ca4)["flops"])
-    best4 = float("inf")
-    for _ in range(N_BEST):
-        t0 = time.perf_counter()
-        for _ in range(3 * reps):
-            state4, loss4, _ = trainer.train_step(state4, batch4, rng)
-        float(loss4)
-        best4 = min(best4, (time.perf_counter() - t0) / (3 * reps))
-    return 1.0 / best, flops / len(batches), 1.0 / best4, flops4
+    def batched_leg(bk):
+        state_k = trainer.init(jax.random.PRNGKey(0), bk)
+        state_k, loss_k, _ = trainer.train_step(state_k, bk, rng)
+        ca = trainer._train_step.lower(state_k, bk, rng).compile()
+        ca = ca.cost_analysis()
+        flops_k = float((ca[0] if isinstance(ca, list) else ca)["flops"])
+        best_k = float("inf")
+        for _ in range(N_BEST):
+            t0 = time.perf_counter()
+            for _ in range(3 * reps):
+                state_k, loss_k, _ = trainer.train_step(state_k, bk, rng)
+            float(loss_k)
+            best_k = min(best_k, (time.perf_counter() - t0) / (3 * reps))
+        return 1.0 / best_k, flops_k
+
+    steps4, flops4 = batched_leg(batch4)
+    if batch16 is None:
+        steps16, flops16 = float("nan"), float("nan")
+    else:
+        steps16, flops16 = batched_leg(batch16)
+    return (1.0 / best, flops / len(batches), steps4, flops4, steps16,
+            flops16)
 
 
 def host_partition(xyz, rgb, cfg):
@@ -457,9 +472,11 @@ def main():
 
     t_part, results = tpu_partition(clouds, cfg)
     tmpdir = tempfile.mkdtemp(prefix="spgt_bench_")
-    batches, batch4 = build_eval_batches(results[: N_REPEATS], tmpdir)
+    batches, batch4, batch16 = build_eval_batches(results[: N_REPEATS], tmpdir)
     t_inf, flops_inf = tpu_inference(batches)
-    steps_per_sec, flops_train, steps4, flops4 = tpu_train(batches, batch4)
+    (steps_per_sec, flops_train, steps4, flops4, steps16, flops16) = (
+        tpu_train(batches, batch4, batch16)
+    )
     roof = tpu_stage_roofline(clouds[0], cfg)
     kind, peak_flops, peak_bw = device_peaks()
 
@@ -513,9 +530,12 @@ def main():
                 "mfu_inference": round(flops_inf / t_inf / peak_flops, 4),
                 "mfu_train": round(flops_train / (1.0 / steps_per_sec)
                                    / peak_flops, 4),
-                # 4-room batched training (reference main.py:40 batch mode)
+                # 4-/16-room batched training (reference main.py:40 batch
+                # mode; b16 amortizes the ~7 ms fixed per-step cost)
                 "train_b4_steps_per_sec": round(steps4, 3),
                 "mfu_train_b4": round(flops4 * steps4 / peak_flops, 4),
+                "train_b16_steps_per_sec": round(steps16, 3),
+                "mfu_train_b16": round(flops16 * steps16 / peak_flops, 4),
                 "t_knn_sec": round(roof["t_knn"], 4),
                 "t_cp_sec": round(roof["t_cp"], 4),
                 "cp_outer_iters": roof["cp_outer_iters"],

@@ -189,19 +189,35 @@ void spgt_compute_geof(const float* xyz, const uint32_t* nbrs, uint64_t n,
 // union-find
 // ---------------------------------------------------------------------------
 struct UF {
-  std::vector<int64_t> p;
+  // int32 parents: half the random-access footprint of the old int64
+  // vector (the UF walk over a multi-10M-edge kNN list is cache-bound on
+  // the 1-core host; vertex counts here are far below 2^31)
+  std::vector<int32_t> p;
   explicit UF(int64_t n) : p(n) { std::iota(p.begin(), p.end(), 0); }
-  int64_t find(int64_t x) {
+  int32_t find(int32_t x) {
     while (p[x] != x) { p[x] = p[p[x]]; x = p[x]; }
     return x;
   }
-  void unite(int64_t a, int64_t b) {
+  void unite(int32_t a, int32_t b) {
     a = find(a); b = find(b);
     if (a != b) p[std::max(a, b)] = std::min(a, b);
   }
 };
 
 static int64_t densify_first_occurrence(std::vector<int64_t>& lab) {
+  // fast path: labels already bounded (UF roots are vertex ids) — a flat
+  // remap table beats the hash map ~10x (CLAUDE.md round-3 densify lesson)
+  int64_t mx = -1;
+  for (auto l : lab) mx = std::max(mx, l);
+  if (mx >= 0 && mx < (int64_t)(4 * lab.size() + 1024)) {
+    std::vector<int32_t> remap(mx + 1, -1);
+    int64_t next = 0;
+    for (auto& l : lab) {
+      if (remap[l] < 0) remap[l] = (int32_t)next++;
+      l = remap[l];
+    }
+    return next;
+  }
   std::unordered_map<int64_t, int64_t> remap;
   remap.reserve(lab.size());
   int64_t next = 0;

@@ -282,6 +282,7 @@ def _seg_mean(data, seg, n, weights):
     static_argnames=(
         "max_iter", "icm_sweeps", "flow_steps", "power_iters", "cc_rounds",
         "cc_sweeps_per_round", "cc_hooks", "cc_jumps", "accept", "geom",
+        "stop_tol",
     ),
 )
 def _solve_band(
@@ -304,6 +305,7 @@ def _solve_band(
     cc_jumps: int = 3,
     accept: str = "global",
     geom: tuple[int, int] | None = None,
+    stop_tol: float = 0.0,
 ):
     # (A fused Mosaic Gauss-Seidel CC + masked-matvec ICM variant was built
     # and profiled in round 4 — it LOST to this XLA form at the square
@@ -533,7 +535,15 @@ def _solve_band(
             delta = dfid + reg * dcut
             acc_r = delta < -1e-6 * jnp.maximum(fo_reg, 1.0)
             acc_n = acc_r[comp]
-            improved = jnp.any(acc_n)
+            e_drop = jnp.sum(jnp.where(acc_r, delta, 0.0))
+            # relative-improvement stop (stop_tol > 0): the per-region accept
+            # keeps finding microscopic improvements for many outer
+            # iterations (at 656k voxels, iterations 9-10 moved the energy by
+            # 0.1 of 26572 — tools/atscale_knobs_results.json), each costing a
+            # full CC+ICM pass; stop once the accepted total drop is below
+            # stop_tol x |energy| (stop_tol = 0 reproduces "any region
+            # accepted" exactly: every accepted region's delta is < 0)
+            improved = e_drop < -stop_tol * jnp.maximum(jnp.abs(energy), 1.0)
             comp_out = jnp.where(acc_n, new_comp, comp)
             # accepted regions' children stay splittable; unsplit or
             # rejected regions saturate (their means — hence their split —
@@ -543,7 +553,7 @@ def _solve_band(
             sat_out = jax.ops.segment_max(
                 (~acc_n).astype(jnp.int32), comp_out, num_segments=n
             ).astype(bool)
-            e_out = energy + jnp.sum(jnp.where(acc_r, delta, 0.0))
+            e_out = energy + e_drop
             return comp_out, sat_out, e_out, it + 1, improved, ccr + rounds
         new_energy = energy_of(new_comp, means_of(new_comp))
         improved = new_energy < energy - 1e-6 * jnp.maximum(

@@ -123,6 +123,7 @@ def chunked_cutpursuit_sharded(
     # per-region accept + max_iter=16
     solver_kw.setdefault("accept", "region")
     solver_kw.setdefault("max_iter", 16)
+    solver_kw.setdefault("stop_tol", 1e-4)  # see pipeline_big defaults
     n, d = features.shape
     k_adj = int(idx_adj.shape[1])
     n_dev = mesh.shape[axis]

@@ -80,6 +80,12 @@ def chunked_cutpursuit(
     # the iteration (tools/atscale_knobs_results.json).
     solver_kw.setdefault("accept", "region")
     solver_kw.setdefault("max_iter", 16)
+    # relative-improvement stop: region accept keeps finding microscopic
+    # improvements deep into the outer loop (solve_iters 7-9 per chunk at
+    # 2e6, energy change ~4e-6/iter past iter ~5 — tools/
+    # atscale_knobs_results.json, bigcloud_2e6_r5.json); each extra
+    # iteration is a full CC+ICM pass (~0.7 s/chunk)
+    solver_kw.setdefault("stop_tol", 1e-4)
     n = len(features)
     xyz = np.asarray(xyz)
     perm = morton_order(xyz)
@@ -193,6 +199,12 @@ def chunked_cutpursuit_device(
     # global accept, faster end to end; tools/atscale_knobs_results.json)
     solver_kw.setdefault("accept", "region")
     solver_kw.setdefault("max_iter", 16)
+    # relative-improvement stop: region accept keeps finding microscopic
+    # improvements deep into the outer loop (solve_iters 7-9 per chunk at
+    # 2e6, energy change ~4e-6/iter past iter ~5 — tools/
+    # atscale_knobs_results.json, bigcloud_2e6_r5.json); each extra
+    # iteration is a full CC+ICM pass (~0.7 s/chunk)
+    solver_kw.setdefault("stop_tol", 1e-4)
     t_all0 = time.perf_counter()
     n = int(f_dev.shape[0])
     k_adj = int(idx_adj_dev.shape[1])

@@ -45,7 +45,9 @@ from bigcloud_knn import enable_compile_cache  # noqa: E402
 
 enable_compile_cache()
 
-from partition_quality import evaluate_partition  # noqa: E402
+from partition_quality import (  # noqa: E402
+    connectivity_audit, evaluate_partition,
+)
 from partition_quality_atscale import sp_size_hist  # noqa: E402
 
 CACHE = "/tmp/atscale_cache_{n}.npz"
@@ -86,22 +88,6 @@ def build_or_load(n_raw: int, voxel: float, k_geof: int, k_adj: int):
     data = dict(px=px, f=f, idx=idx, d2=d2, hist=hist, obj=obj)
     np.savez(path, **data)
     return data
-
-
-def connectivity_audit(in_comp, src, tgt):
-    """Count labels whose same-label kNN subgraph is disconnected."""
-    from scipy.sparse import coo_matrix
-    from scipy.sparse.csgraph import connected_components
-
-    n = len(in_comp)
-    m = in_comp[src] == in_comp[tgt]
-    g = coo_matrix(
-        (np.ones(int(m.sum()), np.int8), (src[m], tgt[m])), shape=(n, n)
-    )
-    n_cc, _ = connected_components(g, directed=False)
-    n_lab = int(in_comp.max()) + 1
-    return {"n_labels": n_lab, "n_true_cc": int(n_cc),
-            "disconnected_labels": int(n_cc - n_lab)}
 
 
 def main():
@@ -193,6 +179,12 @@ def main():
         run_chunked("chunked_region", accept="region")
     if "chunked_region16" in legs:
         run_chunked("chunked_region16", accept="region", max_iter=16)
+    # stop_tol A/B (r5): default now region+max_iter16+stop_tol=1e-4;
+    # tol0 reproduces the r4 "any region accepted" continuation exactly
+    if "chunked_tol0" in legs:
+        run_chunked("chunked_tol0", stop_tol=0.0)
+    if "chunked_tol3" in legs:
+        run_chunked("chunked_tol3", stop_tol=1e-3)
 
     def run_mono(name, **kw):
         from superpoint_graph_tpu.ops.cutpursuit import merge_regions

@@ -22,6 +22,22 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def connectivity_audit(in_comp, src, tgt):
+    """Count labels whose same-label kNN subgraph is disconnected."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    n = len(in_comp)
+    m = in_comp[src] == in_comp[tgt]
+    g = coo_matrix(
+        (np.ones(int(m.sum()), np.int8), (src[m], tgt[m])), shape=(n, n)
+    )
+    n_cc, _ = connected_components(g, directed=False)
+    n_lab = int(in_comp.max()) + 1
+    return {"n_labels": n_lab, "n_true_cc": int(n_cc),
+            "disconnected_labels": int(n_cc - n_lab)}
+
+
 def evaluate_partition(in_comp, labels_hist, objects, src, tgt, f, w, reg):
     from superpoint_graph_tpu.learn.metrics import (
         compute_boundary_precision,

@@ -39,8 +39,9 @@ from bigcloud_knn import enable_compile_cache  # noqa: E402
 
 enable_compile_cache()
 
-from atscale_knobs import connectivity_audit  # noqa: E402
-from partition_quality import evaluate_partition  # noqa: E402
+from partition_quality import (  # noqa: E402
+    connectivity_audit, evaluate_partition,
+)
 
 
 def superedge_sets(in_comp, src, tgt):
