@@ -242,6 +242,13 @@ int64_t spgt_connected_comp(int64_t n_ver, int64_t n_edg, const uint32_t* src,
   int64_t n_comp = densify_first_occurrence(lab);
 
   if (cutoff > 0 && n_comp > 1) {
+    // compact the inactive (label-crossing) edges ONCE: the fuse rounds
+    // below only ever look at them (~3-10% of a kNN list), and each round
+    // previously rescanned the full multi-10M-edge list
+    std::vector<uint32_t> isrc, itgt;
+    for (int64_t e = 0; e < n_edg; ++e)
+      if (!active[e]) { isrc.push_back(src[e]); itgt.push_back(tgt[e]); }
+    const int64_t n_inact = (int64_t)isrc.size();
     for (int round = 0; round < 64; ++round) {
       std::vector<int64_t> sizes(n_comp, 0);
       for (int64_t i = 0; i < n_ver; ++i) sizes[lab[i]]++;
@@ -253,10 +260,9 @@ int64_t spgt_connected_comp(int64_t n_ver, int64_t n_edg, const uint32_t* src,
             (sizes[b] == sizes[best[a]] && b < best[a]))
           best[a] = b;
       };
-      for (int64_t e = 0; e < n_edg; ++e) {
-        if (active[e]) continue;
-        consider(lab[src[e]], lab[tgt[e]]);
-        consider(lab[tgt[e]], lab[src[e]]);
+      for (int64_t e = 0; e < n_inact; ++e) {
+        consider(lab[isrc[e]], lab[itgt[e]]);
+        consider(lab[itgt[e]], lab[isrc[e]]);
       }
       std::vector<int64_t> map(n_comp);
       std::iota(map.begin(), map.end(), 0);
