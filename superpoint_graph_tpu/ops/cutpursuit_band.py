@@ -762,7 +762,15 @@ def cutpursuit_band_device(
     geom = solver_kw.pop("geom", None) or geom_for(n)
     bB = _geom(geom)[0]
     assert n_pad % bB == 0, "caller buckets n_pad to a power of two >= 1024"
-    perm = morton_order(np.asarray(xyz[:n]))
+    # Morton permutation on DEVICE (one 2-key sort) + one small fetch: the
+    # host uint64 bit-twiddle costs ~38 ms at 60k / ~1 s at 656k — ~9% of
+    # the whole 60k-room solve call. Ties may order differently than the
+    # host path (f32 quantization); only locality matters here.
+    perm = np.asarray(
+        morton_perm_device(jnp.asarray(np.ascontiguousarray(
+            xyz[:n], np.float32
+        )))
+    )
     perm_full = np.concatenate([perm, np.arange(n, n_pad)]).astype(np.int32)
     inv = np.empty(n_pad, np.int32)
     inv[perm_full] = np.arange(n_pad, dtype=np.int32)
@@ -787,10 +795,9 @@ def cutpursuit_band_device(
     # compact the overflow list to its actual (bucketed, DEDUPED) length:
     # every CC round and ICM sweep runs segment ops over it, so the static
     # worst-case cap would cost ~8x on typical (~5% overflow) graphs
-    of_n = int(jax.device_get(of_count))
+    of_n, of_u = map(int, jax.device_get((of_count, of_unique)))
     if of_n > of_cap:  # pathological graph: caller must fall back
         raise OverflowError(f"overflow edges {of_n} exceed cap {of_cap}")
-    of_u = int(jax.device_get(of_unique))
     cap2 = max(16384, 1 << int(np.ceil(np.log2(max(of_u, 2)))))
     if cap2 < of_cap:
         of_src, of_tgt, of_w = (
@@ -801,11 +808,13 @@ def cutpursuit_band_device(
         jnp.float32(reg_strength), jnp.float32(weight_decay), geom=geom,
         **solver_kw,
     )
-    comp_h = np.asarray(comp)
+    # one batched fetch for labels + scalars (each device_get is a tunnel
+    # round trip)
+    comp_h, it_h, ccr_h, e_h = jax.device_get((comp, iters, ccr, energy))
+    comp_h = np.asarray(comp_h)
     LAST_SOLVE_STATS.update(
         n_pad=int(n_pad), win=_geom(geom)[2], d=int(f_p.shape[1]),
-        iters=int(jax.device_get(iters)), cc_rounds=int(jax.device_get(ccr)),
-        energy=float(jax.device_get(energy)),
+        iters=int(it_h), cc_rounds=int(ccr_h), energy=float(e_h),
     )
     comp_h = comp_h[inv[:n]]  # back to original order
     _, first_pos, invc = np.unique(
@@ -938,11 +947,11 @@ def cutpursuit_band(
         geom=geom,
         **solver_kw,
     )
+    comp, it_h, ccr_h, e_h = jax.device_get((comp, iters, ccr, energy))
     comp = np.asarray(comp)[:n][inv]  # back to original vertex order
     LAST_SOLVE_STATS.update(
         n_pad=int(n_pad), win=_geom(geom)[2], d=int(f.shape[1]),
-        iters=int(jax.device_get(iters)), cc_rounds=int(jax.device_get(ccr)),
-        energy=float(jax.device_get(energy)),
+        iters=int(it_h), cc_rounds=int(ccr_h), energy=float(e_h),
     )
 
     _, first_pos, invc = np.unique(comp, return_index=True, return_inverse=True)
