@@ -136,7 +136,16 @@ def _cutpursuit_device_path(xyz, rgb, graph_nn, dev, cfg: PartitionConfig):
     )
     if cfg.cp_cutoff > 0:
         active = in_comp[src] == in_comp[tgt]
-        _, in_comp = connected_components(n, src, tgt, active, cfg.cp_cutoff)
+        from . import native
+
+        if native.available():  # same contract, ~3x the scipy path
+            _, in_comp = native.connected_comp(
+                n, src, tgt, active, cfg.cp_cutoff
+            )
+        else:
+            _, in_comp = connected_components(
+                n, src, tgt, active, cfg.cp_cutoff
+            )
     return group_components(in_comp), in_comp.astype(np.int32)
 
 
