@@ -82,6 +82,17 @@ def main():
         "icm_sweeps_2": dict(icm_sweeps=2),
         "icm_sweeps_1": dict(icm_sweeps=1),
         "flow_steps_1": dict(flow_steps=1),
+        # the r5 chunked-path default (region accept + tol stop) and its
+        # round-structure variants at the narrow geometry
+        "region": dict(accept="region", max_iter=16, stop_tol=1e-4),
+        "region_sweeps8": dict(
+            accept="region", max_iter=16, stop_tol=1e-4,
+            cc_sweeps_per_round=8,
+        ),
+        "region_icm2": dict(
+            accept="region", max_iter=16, stop_tol=1e-4, icm_sweeps=2,
+        ),
+        "region_tol3": dict(accept="region", max_iter=16, stop_tol=1e-3),
     }
     results = {"n": n, "n_pad": int(n_pad)}
     for name, kw in variants.items():
