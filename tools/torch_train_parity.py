@@ -170,6 +170,74 @@ def torch_arm(root: str) -> dict:
     import learning.graphnet as ref_graphnet
     import learning.pointnet as ref_pointnet
 
+    # The reference's GraphConvFunction.backward is old-torch code: its
+    # `torch.bmm(..., out=sel_input)` reshapes the 2D buffer to [E, 1, C]
+    # in modern torch and the subsequent index_add_ crashes (GraphConv
+    # Module.py:146). Replace it with a vectorized, mathematically
+    # identical backward (same mean-aggregate semantics as forward:
+    # out[i] = mean_e input[idxn_e] @ W_e). Verified against autograd on a
+    # differentiable re-implementation below before training starts.
+    import learning.ecc as ref_ecc
+
+    def _gcf_backward(ctx, grad_output):
+        inp, weights = ctx.saved_tensors
+        idxn, idxe, degs = ctx._idxn, ctx._idxe, ctx._degs
+        node_idx = torch.repeat_interleave(
+            torch.arange(degs.numel(), device=grad_output.device), degs
+        )
+        d = degs[node_idx].clamp(min=1).to(grad_output.dtype).unsqueeze(1)
+        gp = grad_output[node_idx] / d          # [E, out] d(out)/d(product)
+        sel_input = inp[idxn]                    # [E, in]
+        w = weights[idxe] if idxe is not None else weights
+        if ctx._full_weight_mat:
+            grad_w_e = torch.bmm(sel_input.unsqueeze(2), gp.unsqueeze(1))
+            grad_in_e = torch.bmm(gp.unsqueeze(1), w.transpose(1, 2))
+            grad_in_e = grad_in_e.squeeze(1)
+        else:
+            grad_w_e = sel_input * gp            # diagonal: in == out
+            grad_in_e = gp * w
+        if idxe is not None:
+            grad_weights = torch.zeros_like(weights).index_add_(
+                0, idxe, grad_w_e
+            )
+        else:
+            grad_weights = grad_w_e
+        grad_input = torch.zeros_like(inp).index_add_(0, idxn, grad_in_e)
+        return (grad_input, grad_weights, None, None, None, None, None,
+                None, None)
+
+    ref_ecc.GraphConvFunction.backward = staticmethod(_gcf_backward)
+
+    # equivalence check: patched backward vs autograd through a pure-torch
+    # differentiable forward with identical semantics
+    def _check_backward():
+        g = torch.Generator().manual_seed(0)
+        n, e, ci, co = 7, 19, 3, 4
+        tgt, _ = torch.sort(torch.randint(0, n, (e,), generator=g))
+        idxn = torch.randint(0, n, (e,), generator=g)
+        degs = torch.bincount(tgt, minlength=n)
+        x1 = torch.randn(n, ci, generator=g, requires_grad=True)
+        w1 = torch.randn(e, ci, co, generator=g, requires_grad=True)
+        out = ref_ecc.GraphConvFunction.apply(
+            x1, w1, ci, co, idxn, None, degs, degs, int(1e9)
+        )
+        loss = (out * torch.arange(n * co).view(n, co)).sum()
+        loss.backward()
+        x2 = x1.detach().clone().requires_grad_(True)
+        w2 = w1.detach().clone().requires_grad_(True)
+        prod = torch.bmm(x2[idxn].unsqueeze(1), w2).squeeze(1)
+        node_idx = torch.repeat_interleave(torch.arange(n), degs)
+        agg = torch.zeros(n, co).index_add_(0, node_idx, prod)
+        out2 = agg / degs.clamp(min=1).unsqueeze(1).to(agg.dtype)
+        ((out2 * torch.arange(n * co).view(n, co)).sum()).backward()
+        assert torch.allclose(out, out2, atol=1e-5), "forward mismatch"
+        assert torch.allclose(x1.grad, x2.grad, atol=1e-5), "dx mismatch"
+        assert torch.allclose(w1.grad, w2.grad, atol=1e-5), "dw mismatch"
+
+    _check_backward()
+    print("GraphConvFunction backward shim verified vs autograd",
+          flush=True)
+
     from superpoint_graph_tpu.data import datasets as ds
     from superpoint_graph_tpu.data.loader import (
         LoaderConfig, load_spg_sample, pc_attrib_dims,
