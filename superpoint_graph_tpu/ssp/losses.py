@@ -125,7 +125,13 @@ def compute_partition(cfg: SspLossConfig, embeddings, edg_source, edg_target,
     kw = {}
     if cfg.cp_backend != "exact":
         # band solver (the TPU fast path): Morton-sort by spatial position
-        # when available so the kNN graph is block-banded
+        # when available so the kNN graph is block-banded. Deliberately
+        # keeps the GLOBAL accept default (not the chunked paths' region
+        # accept): the region-accept fix targets at-scale chunked
+        # under-segmentation, while these in-loop solves are <=10k vertices
+        # where global accept already matches the exact backend's training
+        # curves point-for-point (tools/ssp_quality_exact_results.json vs
+        # ssp_quality_results.json) and costs one fewer executable family.
         solver = cutpursuit_band
         kw["xyz"] = np.asarray(xyz, np.float32) if xyz is not None else None
     else:
