@@ -260,8 +260,15 @@ def _dedup_of(of_src, of_tgt, of_w, of_cap: int):
     rid = jnp.cumsum(first.astype(jnp.int32)) - 1
     w2 = jax.ops.segment_sum(w_s, rid, num_segments=of_cap)
     pos = jnp.where(first, rid, of_cap)
-    src2 = jnp.zeros(of_cap + 1, jnp.int32).at[pos].set(s_s)[:of_cap]
-    tgt2 = jnp.zeros(of_cap + 1, jnp.int32).at[pos].set(t_s)[:of_cap]
+    # unwritten tail slots get a BIG sentinel id (not 0) so the compacted
+    # list is globally ASCENDING by src — every per-round segment op over it
+    # (CC hook segment_min, ICM segment_sum) can then pass
+    # indices_are_sorted=True (25% cheaper on this target, tools/
+    # band_stage_profile_narrow_r5.json t_of_hook_sorted). Sentinel ids are
+    # out of range: gathers clamp to the last node (masked by w == 0),
+    # scatters drop.
+    src2 = jnp.full(of_cap + 1, BIG, jnp.int32).at[pos].set(s_s)[:of_cap]
+    tgt2 = jnp.full(of_cap + 1, BIG, jnp.int32).at[pos].set(t_s)[:of_cap]
     n_unique = jnp.sum(first.astype(jnp.int32))
     return src2, tgt2, w2, n_unique
 
@@ -288,7 +295,7 @@ def _seg_mean(data, seg, n, weights):
 def _solve_band(
     f,            # [n, d] features (Morton order, padded)
     band_w,       # [NB, B, WIN] f32 edge weight (0 where no edge)
-    of_src,       # [E_of] int32 overflow directed edges (padded with self)
+    of_src,       # [E_of] int32 overflow edges, ASCENDING (BIG-id tail pad)
     of_tgt,       # [E_of] int32
     of_w,         # [E_of] f32 (0 for padding)
     nw,           # [n] node weights (0 for padding)
@@ -373,7 +380,11 @@ def _solve_band(
             # per round (the band sweeps only move it WIN/2 positions)
             for _ in range(cc_hooks):
                 m = jnp.where(of_same, new[of_tgt], BIG)
-                hook = jax.ops.segment_min(m, of_src, num_segments=n)
+                # the deduped overflow list is ascending by src (_dedup_of
+                # sentinel tail) — sorted scatter is ~25% cheaper
+                hook = jax.ops.segment_min(
+                    m, of_src, num_segments=n, indices_are_sorted=True
+                )
                 new = jnp.minimum(new, hook)
                 new = _jump(new, cc_jumps)
             return new, jnp.any(new != lab), i + 1
@@ -475,18 +486,23 @@ def _solve_band(
                         of_intra_w * (1.0 - 2.0 * b[of_tgt].astype(f.dtype)),
                         of_src,
                         num_segments=n,
+                        indices_are_sorted=True,
                     )
                 )
                 want = (delta_u + field) < 0
                 upd = parity == (s % 2 == 0)
                 b = jnp.where(upd, want, b)
             b = jnp.where(step_on, b, b_in)
-        return jnp.where(saturated[comp], False, b)
+        # w_intra / of_intra_w are handed to the region accept (the newly cut
+        # edges it prices are exactly the intra-OLD-region edges whose new
+        # labels differ — rebuilding the same [NB, B, WIN] select there was a
+        # second full band_w + band_adj read per outer iteration)
+        return jnp.where(saturated[comp], False, b), w_intra, of_intra_w
 
     def body(state):
         comp, saturated, energy, it, _, ccr = state
         mean = means_of(comp)
-        b = split_once(comp, saturated, mean, it)
+        b, w_intra, of_intra_w = split_once(comp, saturated, mean, it)
         new_comp, rounds = cc_full(comp, b)
         if accept == "region":
             # Per-OLD-region accept (the exact reference solver's effective
@@ -507,25 +523,20 @@ def _solve_band(
                 fn_node - fo_node, comp, num_segments=n
             )
             fo_reg = jax.ops.segment_sum(fo_node, comp, num_segments=n)
-            compw = band_windows(comp, jnp.int32(-1), geom)
-            comp2 = comp.reshape(nb, bB)[:, :, None]
+            # newly cut edges = intra-OLD-region support (w_intra, already
+            # materialized by split_once for the ICM sweeps) whose NEW labels
+            # differ — one bf16 band read instead of re-masking band_w with
+            # band_adj + two old-comp windows
             ncw = band_windows(new_comp, jnp.int32(-1), geom)
             nc2 = new_comp.reshape(nb, bB)[:, :, None]
             cut_node = jnp.sum(
                 jnp.where(
-                    band_adj
-                    & (compw[:, None, :] == comp2)
-                    & (ncw[:, None, :] != nc2),
-                    band_w,
-                    jnp.bfloat16(0.0),
+                    ncw[:, None, :] != nc2, w_intra, jnp.bfloat16(0.0)
                 ).astype(jnp.float32),
                 axis=2,
             ).reshape(-1)
             of_cut = jnp.where(
-                (comp[of_src] == comp[of_tgt])
-                & (new_comp[of_src] != new_comp[of_tgt]),
-                of_w,
-                0.0,
+                new_comp[of_src] != new_comp[of_tgt], of_intra_w, 0.0
             )
             # both directions of every undirected edge are present
             dcut = 0.5 * (
@@ -911,10 +922,13 @@ def cutpursuit_band(
         n_pad, ds, dt, dw, geom
     )
     of_src, of_tgt, of_w = dedup_of_host(of_src, of_tgt, of_w, n_pad)
-    # pad overflow list to a bucketed length (self-loops with zero weight)
+    # pad overflow list to a bucketed length with BIG-sentinel ids so the
+    # list stays ASCENDING by src (dedup_of_host key-sorts) — _solve_band's
+    # segment ops pass indices_are_sorted=True (out-of-range ids: gathers
+    # clamp + are masked by w == 0, scatters drop)
     e_of = max(1024, 1 << int(np.ceil(np.log2(max(len(of_src), 1)))))
-    of_src_p = np.zeros(e_of, np.int32)
-    of_tgt_p = np.zeros(e_of, np.int32)
+    of_src_p = np.full(e_of, int(BIG), np.int32)
+    of_tgt_p = np.full(e_of, int(BIG), np.int32)
     of_w_p = np.zeros(e_of, np.float32)
     of_src_p[: len(of_src)] = of_src
     of_tgt_p[: len(of_tgt)] = of_tgt

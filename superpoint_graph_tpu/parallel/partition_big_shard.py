@@ -95,6 +95,12 @@ def _window_band(bf, bidx, bd2, x0_loc, g0_win, n, dmean, lam,
         .at[tgt_pos]
         .set(jnp.where(is_of, w, 0.0))[:of_cap]
     )
+    # _solve_band's per-round segment ops now require the ASCENDING-src
+    # deduped list (indices_are_sorted contract of ops.cutpursuit_band);
+    # the dedup also drops ~30% duplicate directed entries
+    from ..ops.cutpursuit_band import _dedup_of
+
+    of_src, of_tgt, of_w, _ = _dedup_of(of_src, of_tgt, of_w, of_cap)
     nw = real.astype(jnp.float32)
     return f_rows, band_w, of_src, of_tgt, of_w, nw, src0, tgt0, w0
 
@@ -123,7 +129,7 @@ def chunked_cutpursuit_sharded(
     # per-region accept + max_iter=16
     solver_kw.setdefault("accept", "region")
     solver_kw.setdefault("max_iter", 16)
-    solver_kw.setdefault("stop_tol", 1e-4)  # see pipeline_big defaults
+    solver_kw.setdefault("stop_tol", 1e-3)  # see pipeline_big defaults
     n, d = features.shape
     k_adj = int(idx_adj.shape[1])
     n_dev = mesh.shape[axis]

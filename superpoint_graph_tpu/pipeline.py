@@ -229,22 +229,34 @@ def partition_cloud(
     times["partition"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    graph_sp = compute_sp_graph(
-        xyz,
-        cfg.d_se_max,
-        in_component,
-        components,
-        labels,
-        n_labels,
-        adjacency=cfg.spg_adjacency,
-        # 'knn' mode reuses the partition's adjacency edges as superedge
-        # support instead of a second kNN search
-        knn_edges=(
-            (graph_nn["source"], graph_nn["target"])
-            if cfg.spg_adjacency == "knn"
-            else None
-        ),
-    )
+    if device_cp and cfg.spg_adjacency == "knn":
+        # the kNN table is already device-resident — the device SPG builder
+        # (same contract, tests/test_spg.py parity) replaces the ~0.10 s
+        # host segment-stats pass at the 60k bench shape
+        from .graph.spg_device import compute_sp_graph_device
+
+        graph_sp = compute_sp_graph_device(
+            np.asarray(xyz, np.float32), cfg.d_se_max, in_component,
+            components, labels, n_labels,
+            idx_adj=dev["idx"][: len(xyz), : cfg.k_nn_adj],
+        )
+    else:
+        graph_sp = compute_sp_graph(
+            xyz,
+            cfg.d_se_max,
+            in_component,
+            components,
+            labels,
+            n_labels,
+            adjacency=cfg.spg_adjacency,
+            # 'knn' mode reuses the partition's adjacency edges as superedge
+            # support instead of a second kNN search
+            knn_edges=(
+                (graph_nn["source"], graph_nn["target"])
+                if cfg.spg_adjacency == "knn"
+                else None
+            ),
+        )
     times["spg"] = time.perf_counter() - t0
 
     return PartitionResult(

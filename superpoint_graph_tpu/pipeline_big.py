@@ -81,11 +81,11 @@ def chunked_cutpursuit(
     solver_kw.setdefault("accept", "region")
     solver_kw.setdefault("max_iter", 16)
     # relative-improvement stop: region accept keeps finding microscopic
-    # improvements deep into the outer loop (solve_iters 7-9 per chunk at
-    # 2e6, energy change ~4e-6/iter past iter ~5 — tools/
-    # atscale_knobs_results.json, bigcloud_2e6_r5.json); each extra
-    # iteration is a full CC+ICM pass (~0.7 s/chunk)
-    solver_kw.setdefault("stop_tol", 1e-4)
+    # improvements deep into the outer loop; each extra iteration is a full
+    # CC+ICM pass (~0.7 s/chunk). 1e-3 cuts iters 10 -> 7 at 656k voxels for
+    # energy +8e-5 rel / ncomp -0.5% / OOA-BR-BP unchanged
+    # (tools/atscale_knobs_results.json chunked_tol0 vs chunked_tol3)
+    solver_kw.setdefault("stop_tol", 1e-3)
     n = len(features)
     xyz = np.asarray(xyz)
     perm = morton_order(xyz)
@@ -175,6 +175,7 @@ def chunked_cutpursuit_device(
     src=None,
     tgt=None,
     xyz_dev=None,
+    edge_cache: dict | None = None,
     **solver_kw,
 ):
     """Device-resident giant-cloud cut pursuit (successor of
@@ -200,11 +201,11 @@ def chunked_cutpursuit_device(
     solver_kw.setdefault("accept", "region")
     solver_kw.setdefault("max_iter", 16)
     # relative-improvement stop: region accept keeps finding microscopic
-    # improvements deep into the outer loop (solve_iters 7-9 per chunk at
-    # 2e6, energy change ~4e-6/iter past iter ~5 — tools/
-    # atscale_knobs_results.json, bigcloud_2e6_r5.json); each extra
-    # iteration is a full CC+ICM pass (~0.7 s/chunk)
-    solver_kw.setdefault("stop_tol", 1e-4)
+    # improvements deep into the outer loop; each extra iteration is a full
+    # CC+ICM pass (~0.7 s/chunk). 1e-3 cuts iters 10 -> 7 at 656k voxels for
+    # energy +8e-5 rel / ncomp -0.5% / OOA-BR-BP unchanged
+    # (tools/atscale_knobs_results.json chunked_tol0 vs chunked_tol3)
+    solver_kw.setdefault("stop_tol", 1e-3)
     t_all0 = time.perf_counter()
     n = int(f_dev.shape[0])
     k_adj = int(idx_adj_dev.shape[1])
@@ -259,12 +260,12 @@ def chunked_cutpursuit_device(
                 k_adj=k_adj, chunk_pad=chunk_pad, of_cap=of_cap,
             )
         )
-        of_n = int(jax.device_get(of_count))
+        # one batched fetch: each device_get is a tunnel round trip
+        of_n, of_u = map(int, jax.device_get((of_count, of_unique)))
         if of_n > of_cap:
             raise OverflowError(
                 f"chunk {c}: overflow edges {of_n} exceed cap {of_cap}"
             )
-        of_u = int(jax.device_get(of_unique))
         cap2 = max(16384, 1 << int(np.ceil(np.log2(max(of_u, 2)))))
         if cap2 < of_cap:
             of_src, of_tgt, of_w = of_src[:cap2], of_tgt[:cap2], of_w[:cap2]
@@ -302,9 +303,20 @@ def chunked_cutpursuit_device(
     t_heal = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    t_edges = 0.0
     if src is None:
-        src = np.repeat(np.arange(n, dtype=np.int64), k_adj)
-        tgt = np.asarray(idx_adj_dev).reshape(-1).astype(np.int64)
+        # the async copy started at the top has been draining under the
+        # chunk solves — this wait is ~free by now. uint32 views (not the
+        # old int64 astype chain: three 160 MB host passes at 2e6)
+        idx_host = np.ascontiguousarray(np.asarray(idx_adj_dev))
+        src = np.repeat(np.arange(n, dtype=np.uint32), k_adj)
+        if idx_host.dtype == np.int32:
+            tgt = idx_host.view(np.uint32).reshape(-1)
+        else:
+            tgt = idx_host.astype(np.uint32).reshape(-1)
+        if edge_cache is not None:
+            edge_cache.update(idx=idx_host, src=src, tgt=tgt)
+        t_edges = time.perf_counter() - t0
     # connectivity contract (+ cutoff fuse): a chunk-core label restriction
     # can be connected only through halo vertices outside the core — split
     # such labels into true graph CCs (disconnected_labels receipts -> 0)
@@ -317,6 +329,7 @@ def chunked_cutpursuit_device(
         prep=round(t_prep, 2), solve=round(t_solve, 2),
         chunk_merge=round(t_merge, 2), heal=round(t_heal, 2),
         group=round(t_group, 2),
+        host_edges=round(t_edges, 2),
         merge_reduce=round(LAST_MERGE_STATS["reduce"], 2),
         merge_rounds=round(LAST_MERGE_STATS["rounds"], 2),
         # wall minus the timed stages: dispatch latency, the cutoff pass,
@@ -374,7 +387,9 @@ def partition_cloud_big(
     xyz = np.ascontiguousarray(xyz, np.float32)
     n = len(xyz)
 
+    t_f0 = time.perf_counter()
     bi, bd2, info = knn_bigcloud(xyz, cfg.k_nn_geof)
+    t_knn_call = time.perf_counter() - t_f0
     idx_adj_dev = bi[:, : cfg.k_nn_adj]
     d2_adj_dev = bd2[:, : cfg.k_nn_adj]
     # start the host copies NOW so the ~0.9 GB adjacency transfer (tunnel!)
@@ -387,6 +402,7 @@ def partition_cloud_big(
             except Exception:
                 pass
 
+    t_f0 = time.perf_counter()
     xyz_dev = jnp.asarray(xyz)
     geof_parts = [
         compute_geof_rows(xyz_dev, xyz_dev[s : min(n, s + geof_chunk)],
@@ -397,6 +413,7 @@ def partition_cloud_big(
         geof_parts
     )
     del bi, bd2, geof_parts
+    t_geof_dispatch = time.perf_counter() - t_f0
 
     use_color = cfg.dataset == "s3dis" and rgb is not None and len(rgb) > 0
     if use_color:
@@ -410,45 +427,43 @@ def partition_cloud_big(
             geof_dev.copy_to_host_async()
         except Exception:
             pass
-        # adjacency columns to host (graph_nn contract + cutoff pass); the
-        # async copies above overlap these waits with the geof dispatches
-        idx_adj = np.asarray(idx_adj_dev)
-        dist = np.sqrt(np.maximum(np.asarray(d2_adj_dev), 0.0))
-        geof = np.asarray(geof_dev)
-    else:
-        geof = None
     times["features"] = time.perf_counter() - t0
+    times["features_info"] = {
+        "knn_call": round(t_knn_call, 2),
+        "geof_dispatch": round(t_geof_dispatch, 2),
+    }
 
+    # the ~160 MB idx/d2 (+ geof) host copies drain over the tunnel WHILE
+    # the chunk solves run — the chunked path builds the uint32 edge list
+    # itself at relabel time (post-solve, transfers long done) and stashes
+    # it in edge_cache for the graph_nn contract below. Serializing the
+    # fetch before the partition cost ~10 s of the 2e6 features stage
+    # (bigcloud_2e6_r5.json).
     t0 = time.perf_counter()
-    if host_outputs:
-        # build the edge list in its FINAL graph_nn dtype (uint32) — the old
-        # int64 repeat + astype chain was three 160 MB host passes (4 s of
-        # the partition stage at 2e6 on the 1-core box); int32->uint32 is a
-        # free view (kNN ids are non-negative)
-        src = np.repeat(np.arange(n, dtype=np.uint32), cfg.k_nn_adj)
-        # the free .view() reinterpretation is only valid for int32 input; a
-        # dtype drift upstream (x64, a different kNN return dtype) would
-        # silently interleave garbage through view+reshape
-        idx_adj = np.ascontiguousarray(idx_adj)
-        if idx_adj.dtype == np.int32:
-            tgt = idx_adj.view(np.uint32).reshape(-1)
-        else:
-            tgt = idx_adj.astype(np.uint32).reshape(-1)
-        if dist.dtype != np.float32:
-            dist = dist.astype(np.float32)
-        distances = dist.reshape(-1)
-    else:
-        src = tgt = None
-    t_hostedges = time.perf_counter() - t0
+    edge_cache: dict = {}
     components, in_component = chunked_cutpursuit_device(
         f_dev, idx_adj_dev, d2_adj_dev, xyz, cfg.reg_strength,
         lambda_edge_weight=cfg.lambda_edge_weight,
         cutoff=cfg.cp_cutoff, chunk_points=chunk_points,
-        src=src, tgt=tgt, xyz_dev=xyz_dev,
+        xyz_dev=xyz_dev, edge_cache=edge_cache,
     )
     times["partition"] = time.perf_counter() - t0
-    LAST_CP_STATS["host_edges"] = round(t_hostedges, 2)
     times["cp_info"] = dict(LAST_CP_STATS)
+
+    t_f0 = time.perf_counter()
+    if host_outputs:
+        src, tgt = edge_cache["src"], edge_cache["tgt"]
+        dist = np.sqrt(np.maximum(np.asarray(d2_adj_dev), 0.0))
+        if dist.dtype != np.float32:
+            dist = dist.astype(np.float32)
+        distances = dist.reshape(-1)
+        geof = np.asarray(geof_dev)
+    else:
+        src = tgt = None
+        geof = None
+    times["features_info"]["host_fetch"] = round(
+        time.perf_counter() - t_f0, 2
+    )
 
     t0 = time.perf_counter()
     from .graph.spg_device import compute_sp_graph_device

@@ -195,6 +195,9 @@ class TestOverflowDedup:
                               rtol=1e-5), (u, wv)
         # every entry past the unique count carries zero weight
         assert np.all(w2[int(nu):] == 0.0)
+        # sorted-of contract: the whole list (BIG-sentinel tail included) is
+        # ascending by src — _solve_band passes indices_are_sorted=True
+        assert np.all(np.diff(s2.astype(np.int64)) >= 0)
 
     def test_band_solver_invariant_to_duplicate_edges(self, rng):
         """Feeding the same undirected edge twice (mutual-kNN shape) must
@@ -389,15 +392,20 @@ class TestRegionAccept:
             dw = np.concatenate([w, w])
             flat, fw, os_, ot_, ow_ = split_band_edges(n_pad, ds, dt, dw)
             from superpoint_graph_tpu.ops import cutpursuit_band as cb
+            from superpoint_graph_tpu.ops.cutpursuit_band import (
+                BIG, dedup_of_host,
+            )
 
             row = (flat // cb.WIN).astype(np.int32)
             col = (flat % cb.WIN).astype(np.int32)
             band = _build_band(
                 n_pad, jnp.asarray(row), jnp.asarray(col), jnp.asarray(fw)
             )
+            # _solve_band's sorted-of contract: ascending src, BIG-id tail
+            os_, ot_, ow_ = dedup_of_host(os_, ot_, ow_, n_pad)
             e_of = max(16, len(os_))
-            osp = np.zeros(e_of, np.int32)
-            otp = np.zeros(e_of, np.int32)
+            osp = np.full(e_of, int(BIG), np.int32)
+            otp = np.full(e_of, int(BIG), np.int32)
             owp = np.zeros(e_of, np.float32)
             osp[: len(os_)], otp[: len(ot_)], owp[: len(ow_)] = os_, ot_, ow_
             comp, _, _, _ = _solve_band(

@@ -76,23 +76,25 @@ def main():
         # round trade cheap per-round work for fewer while_loop rounds
         "jumps6": dict(cc_jumps=6),
         "hooks2": dict(cc_hooks=2),
-        "hooks2_jumps4_sweeps2": dict(
-            cc_hooks=2, cc_jumps=4, cc_sweeps_per_round=2
-        ),
         "icm_sweeps_2": dict(icm_sweeps=2),
-        "icm_sweeps_1": dict(icm_sweeps=1),
-        "flow_steps_1": dict(flow_steps=1),
         # the r5 chunked-path default (region accept + tol stop) and its
-        # round-structure variants at the narrow geometry
-        "region": dict(accept="region", max_iter=16, stop_tol=1e-4),
-        "region_sweeps8": dict(
-            accept="region", max_iter=16, stop_tol=1e-4,
-            cc_sweeps_per_round=8,
+        # round-structure variants at the narrow geometry; per-round cost is
+        # sweeps (cheap) + hook (E_of gather+scatter-min) + cc_jumps n-sized
+        # gathers — fewer jumps only pays if cc_rounds stays flat
+        "region": dict(accept="region", max_iter=16, stop_tol=1e-3),
+        "region_jumps2": dict(
+            accept="region", max_iter=16, stop_tol=1e-3, cc_jumps=2,
+        ),
+        "region_jumps1": dict(
+            accept="region", max_iter=16, stop_tol=1e-3, cc_jumps=1,
+        ),
+        "region_sweeps2_hooks2": dict(
+            accept="region", max_iter=16, stop_tol=1e-3,
+            cc_sweeps_per_round=2, cc_hooks=2,
         ),
         "region_icm2": dict(
-            accept="region", max_iter=16, stop_tol=1e-4, icm_sweeps=2,
+            accept="region", max_iter=16, stop_tol=1e-3, icm_sweeps=2,
         ),
-        "region_tol3": dict(accept="region", max_iter=16, stop_tol=1e-3),
     }
     results = {"n": n, "n_pad": int(n_pad)}
     for name, kw in variants.items():

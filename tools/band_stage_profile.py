@@ -77,6 +77,16 @@ def jump3(lab):
     return cpb._jump(lab, 3)
 
 
+@partial(jax.jit, static_argnames=("n_pad", "sorted_ix"))
+def hook_solver(lab, of_same, of_src, of_tgt, *, n_pad, sorted_ix=False):
+    """The solver's actual one-sided hook (cc_full round_body)."""
+    m = jnp.where(of_same, lab[of_tgt], cpb.BIG)
+    h = jax.ops.segment_min(
+        m, of_src, num_segments=n_pad, indices_are_sorted=sorted_ix
+    )
+    return jnp.minimum(lab, h)
+
+
 @jax.jit
 def carry10(lab):
     def body(s):
@@ -178,11 +188,12 @@ def main():
 
     e_total = 2 * n_pad * args.k
     of_cap = max(4096, 1 << int(np.ceil(np.log2(max(e_total // 4, 2)))))
-    f_p, band_w, of_src, of_tgt, of_w, nw, of_count = cpb._prep_band_device(
+    (f_p, band_w, of_src, of_tgt, of_w, nw, of_count,
+     of_unique) = cpb._prep_band_device(
         f_dev, idx, d2, jnp.asarray(perm_full), jnp.asarray(inv),
         jnp.int32(n), jnp.float32(1.0), k_adj=args.k, of_cap=of_cap,
     )
-    of_n = int(jax.device_get(of_count))
+    of_n = int(jax.device_get(of_unique))
     cap2 = max(16384, 1 << int(np.ceil(np.log2(max(of_n, 2)))))
     if cap2 < of_cap:
         of_src, of_tgt, of_w = of_src[:cap2], of_tgt[:cap2], of_w[:cap2]
@@ -221,6 +232,12 @@ def main():
                & (of_w > 0.0)).block_until_ready()
     step("t_of_hook",
          lambda: sync(hook_fn(lab, of_same, of_src, of_tgt, n_pad=n_pad)))
+    step("t_of_hook_solver",
+         lambda: sync(hook_solver(lab, of_same, of_src, of_tgt,
+                                  n_pad=n_pad)))
+    step("t_of_hook_sorted",
+         lambda: sync(hook_solver(lab, of_same, of_src, of_tgt,
+                                  n_pad=n_pad, sorted_ix=True)))
     step("t_jump3", lambda: sync(jump3(lab)))
     step("t_carry10_trivial", lambda: sync(carry10(lab)))
 
