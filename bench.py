@@ -305,7 +305,7 @@ def tpu_train(batches, batch4=None, batch16=None):
         return (1.0 / best, flops / len(batches), float("nan"), float("nan"),
                 float("nan"), float("nan"))
 
-    def batched_leg(bk):
+    def batched_leg(bk, scan_k=8):
         state_k = trainer.init(jax.random.PRNGKey(0), bk)
         state_k, loss_k, _ = trainer.train_step(state_k, bk, rng)
         ca = trainer._train_step.lower(state_k, bk, rng).compile()
@@ -318,15 +318,34 @@ def tpu_train(batches, batch4=None, batch16=None):
                 state_k, loss_k, _ = trainer.train_step(state_k, bk, rng)
             float(loss_k)
             best_k = min(best_k, (time.perf_counter() - t0) / (3 * reps))
-        return 1.0 / best_k, flops_k
+        # multi-step dispatch (Trainer.train_steps / cli.train
+        # --steps_per_dispatch). Measured NEGATIVE on this target: the scan
+        # form is ~1.8x slower per step than queue-fed sequential dispatch
+        # (84.8 vs 154.1 steps/s at b4) — kept as the honest receipt that
+        # the dispatch path is NOT the train bottleneck (ROADMAP r5 dead
+        # ends)
+        group = [bk] * scan_k
+        state_s, loss_s, _ = trainer.train_steps(state_k, group, rng)
+        best_s = float("inf")
+        for _ in range(N_BEST):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                state_s, loss_s, _ = trainer.train_steps(state_s, group, rng)
+            float(loss_s[-1])
+            best_s = min(
+                best_s, (time.perf_counter() - t0) / (reps * scan_k)
+            )
+        return 1.0 / best_k, flops_k, 1.0 / best_s
 
-    steps4, flops4 = batched_leg(batch4)
+    steps4, flops4, steps4_scan = batched_leg(batch4)
     if batch16 is None:
-        steps16, flops16 = float("nan"), float("nan")
+        steps16, flops16, steps16_scan = (
+            float("nan"), float("nan"), float("nan")
+        )
     else:
-        steps16, flops16 = batched_leg(batch16)
+        steps16, flops16, steps16_scan = batched_leg(batch16)
     return (1.0 / best, flops / len(batches), steps4, flops4, steps16,
-            flops16)
+            flops16, steps4_scan, steps16_scan)
 
 
 def host_partition(xyz, rgb, cfg):
@@ -474,9 +493,8 @@ def main():
     tmpdir = tempfile.mkdtemp(prefix="spgt_bench_")
     batches, batch4, batch16 = build_eval_batches(results[: N_REPEATS], tmpdir)
     t_inf, flops_inf = tpu_inference(batches)
-    (steps_per_sec, flops_train, steps4, flops4, steps16, flops16) = (
-        tpu_train(batches, batch4, batch16)
-    )
+    (steps_per_sec, flops_train, steps4, flops4, steps16, flops16,
+     steps4_scan, steps16_scan) = tpu_train(batches, batch4, batch16)
     roof = tpu_stage_roofline(clouds[0], cfg)
     kind, peak_flops, peak_bw = device_peaks()
 
@@ -536,6 +554,17 @@ def main():
                 "mfu_train_b4": round(flops4 * steps4 / peak_flops, 4),
                 "train_b16_steps_per_sec": round(steps16, 3),
                 "mfu_train_b16": round(flops16 * steps16 / peak_flops, 4),
+                # scan8 = 8 steps per dispatch (Trainer.train_steps /
+                # cli.train --steps_per_dispatch): the device-throughput
+                # number without the ~5 ms/dispatch tunnel floor
+                "train_b4_scan8_steps_per_sec": round(steps4_scan, 3),
+                "mfu_train_b4_scan8": round(
+                    flops4 * steps4_scan / peak_flops, 4
+                ),
+                "train_b16_scan8_steps_per_sec": round(steps16_scan, 3),
+                "mfu_train_b16_scan8": round(
+                    flops16 * steps16_scan / peak_flops, 4
+                ),
                 "t_knn_sec": round(roof["t_knn"], 4),
                 "t_cp_sec": round(roof["t_cp"], 4),
                 "cp_outer_iters": roof["cp_outer_iters"],

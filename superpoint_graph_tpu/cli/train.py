@@ -37,6 +37,12 @@ def parse_args(argv=None):
                         choices=["none", "proportional", "sqrt"])
     # Learning process
     parser.add_argument("--nworkers", default=0, type=int)
+    parser.add_argument(
+        "--steps_per_dispatch", default=1, type=int,
+        help="group consecutive same-bucket train batches into one device "
+        "dispatch (lax.scan; measured slower on the tunneled box - see "
+        "ROADMAP r5 dead ends)",
+    )
     parser.add_argument("--test_nth_epoch", default=1, type=int)
     parser.add_argument("--save_nth_epoch", default=1, type=int)
     parser.add_argument("--test_multisamp_n", default=10, type=int)
@@ -160,12 +166,21 @@ def _parsed_path(root, name):
 
 def run_epoch(trainer, state, entries, names, root, loader_cfg, n_ch, dbinfo,
               train, rng_np, rng_jax, batch_size, test_seed_offset=0,
-              nworkers=0):
+              nworkers=0, steps_per_dispatch=1):
     """One pass over `entries`; returns (state, mean_loss, ConfusionMatrix).
 
     With nworkers > 0 the h5 loading + collation of the next batch overlaps
     the device step of the current one (the reference's DataLoader workers,
-    main.py:180 — thread-based here since loading is h5py/numpy bound)."""
+    main.py:180 — thread-based here since loading is h5py/numpy bound).
+
+    steps_per_dispatch > 1 groups consecutive same-padding-bucket batches
+    into ONE device dispatch (Trainer.train_steps lax.scan): the tunneled
+    single-chip target pays a fixed ~5 ms per dispatch, which caps
+    single-step training at ~150-200 steps/s regardless of model size.
+    Identical optimizer math per step; only the dropout rng stream differs
+    from the sequential loop (split once per group, folded per step)."""
+    import dataclasses as _dc
+
     import jax
 
     from ..data.loader import collate_spg, load_spg_sample
@@ -199,19 +214,50 @@ def run_epoch(trainer, state, entries, names, root, loader_cfg, n_ch, dbinfo,
         pool = None
         batch_iter = (load_batch(g) for g in groups)
 
+    def account(loss, logits, batch):
+        losses.append(float(loss))
+        pred = np.asarray(logits).argmax(1)
+        tsize = np.asarray(batch.target_size)
+        valid = np.asarray(batch.targets) != -100
+        cm.count_predicted_batch(tsize[valid][:, 1:], pred[valid])
+
+    def shape_sig(b):
+        return tuple(
+            (f.name, None if getattr(b, f.name) is None
+             else tuple(getattr(b, f.name).shape))
+            for f in _dc.fields(b)
+        )
+
+    pending: list = []
+
+    def flush():
+        nonlocal state, rng_jax
+        if not pending:
+            return
+        rng_jax, sub = jax.random.split(rng_jax)
+        state, lk, gk = trainer.train_steps(state, list(pending), sub)
+        lk, gk = np.asarray(lk), np.asarray(gk)
+        for i, b in enumerate(pending):
+            account(lk[i], gk[i], b)
+        pending.clear()
+
     for batch in batch_iter:
         if batch is None:
+            continue
+        if train and steps_per_dispatch > 1:
+            if pending and shape_sig(pending[-1]) != shape_sig(batch):
+                flush()
+            pending.append(batch)
+            if len(pending) >= steps_per_dispatch:
+                flush()
             continue
         if train:
             rng_jax, sub = jax.random.split(rng_jax)
             state, loss, logits = trainer.train_step(state, batch, sub)
         else:
             loss, logits = trainer.eval_step(state, batch)
-        losses.append(float(loss))
-        pred = np.asarray(logits).argmax(1)
-        tsize = np.asarray(batch.target_size)
-        valid = np.asarray(batch.targets) != -100
-        cm.count_predicted_batch(tsize[valid][:, 1:], pred[valid])
+        account(loss, logits, batch)
+    flush()
     if pool is not None:
         pool.shutdown()
     return state, (float(np.mean(losses)) if losses else 0.0), cm, rng_jax
@@ -366,6 +412,7 @@ def main(argv=None):
             trainer, state, trainlist, train_names, root, loader_cfg, n_ch,
             dbinfo, True, rng_np, rng_jax, args.batch_size,
             nworkers=args.nworkers,
+            steps_per_dispatch=args.steps_per_dispatch,
         )
         entry = {
             "epoch": epoch,

@@ -10,6 +10,7 @@ Reference parity (learning/main.py):
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any, Sequence
 
@@ -177,3 +178,49 @@ class Trainer:
 
     def eval_step(self, state, batch):
         return self._eval_step(state, batch)
+
+    def train_steps(self, state, batches: Sequence, rng):
+        """K optimizer steps in ONE dispatch: lax.scan over a leaf-stacked
+        batch pytree (all batches must share one padding-bucket shape).
+
+        Removes host->device dispatch from the step loop entirely — the
+        right shape for deployments where dispatch latency is real. On THIS
+        tunneled single-chip box it measured ~1.8x SLOWER per step than
+        queue-fed sequential dispatch (BENCH r5 scan8 keys; async dispatch
+        already hides the tunnel), so it is not the default anywhere.
+        Same optimizer math as K sequential steps (tested); only the
+        dropout rng stream differs. Returns (state, losses [K],
+        logits [K, n_sp, C])."""
+        k = len(batches)
+        if k == 1:
+            state, loss, logits = self._train_step(state, batches[0], rng)
+            return state, jnp.asarray(loss)[None], logits[None]
+        shapes = {
+            tuple(
+                (f.name, None if getattr(b, f.name) is None
+                 else tuple(getattr(b, f.name).shape))
+                for f in dataclasses.fields(b)
+            )
+            for b in batches
+        }
+        if len(shapes) != 1:
+            raise ValueError(
+                "train_steps requires one padding bucket; got "
+                f"{len(shapes)} distinct batch shapes"
+            )
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        return self._train_steps(state, stacked, rng)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _train_steps(self, state, stacked, rng):
+        def step(carry, xs):
+            st, r = carry
+            batch, = xs
+            r, r_step = jax.random.split(r)
+            st, loss, logits = self._train_step_fn(st, batch, r_step)
+            return (st, r), (loss, logits)
+
+        (state, _), (losses, logits) = jax.lax.scan(
+            step, (state, rng), (stacked,)
+        )
+        return state, losses, logits

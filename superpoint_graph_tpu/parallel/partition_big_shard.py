@@ -130,6 +130,11 @@ def chunked_cutpursuit_sharded(
     solver_kw.setdefault("accept", "region")
     solver_kw.setdefault("max_iter", 16)
     solver_kw.setdefault("stop_tol", 1e-3)  # see pipeline_big defaults
+    solver_kw.setdefault("cc_jumps", 1)
+    # headroom over the observed ~14 CC rounds/iter: with one jump
+    # the 16-round safety cap would be a single bad scene away from
+    # silent under-convergence (costs nothing when converged sooner)
+    solver_kw.setdefault("cc_rounds", 24)  # see pipeline_big defaults
     n, d = features.shape
     k_adj = int(idx_adj.shape[1])
     n_dev = mesh.shape[axis]

@@ -86,6 +86,11 @@ def chunked_cutpursuit(
     # energy +8e-5 rel / ncomp -0.5% / OOA-BR-BP unchanged
     # (tools/atscale_knobs_results.json chunked_tol0 vs chunked_tol3)
     solver_kw.setdefault("stop_tol", 1e-3)
+    solver_kw.setdefault("cc_jumps", 1)
+    # headroom over the observed ~14 CC rounds/iter: with one jump
+    # the 16-round safety cap would be a single bad scene away from
+    # silent under-convergence (costs nothing when converged sooner)
+    solver_kw.setdefault("cc_rounds", 24)  # see chunked_cutpursuit_device
     n = len(features)
     xyz = np.asarray(xyz)
     perm = morton_order(xyz)
@@ -176,6 +181,8 @@ def chunked_cutpursuit_device(
     tgt=None,
     xyz_dev=None,
     edge_cache: dict | None = None,
+    async_fetch=None,
+    halo_points: int | None = None,
     **solver_kw,
 ):
     """Device-resident giant-cloud cut pursuit (successor of
@@ -206,22 +213,24 @@ def chunked_cutpursuit_device(
     # energy +8e-5 rel / ncomp -0.5% / OOA-BR-BP unchanged
     # (tools/atscale_knobs_results.json chunked_tol0 vs chunked_tol3)
     solver_kw.setdefault("stop_tol", 1e-3)
+    # ONE pointer jump per CC hook at chunk scale: the 3-jump default left
+    # cc_rounds AND labels unchanged at 2^19 narrow (55 rounds, identical
+    # ncomp) while each extra jump is an n-sized gather per round —
+    # region_jumps1 4.51 s vs region 5.01 s at 500k
+    # (tools/band_profile_results.json)
+    solver_kw.setdefault("cc_jumps", 1)
+    # headroom over the observed ~14 CC rounds/iter: with one jump
+    # the 16-round safety cap would be a single bad scene away from
+    # silent under-convergence (costs nothing when converged sooner)
+    solver_kw.setdefault("cc_rounds", 24)
     t_all0 = time.perf_counter()
     n = int(f_dev.shape[0])
     k_adj = int(idx_adj_dev.shape[1])
-    if src is None:
-        # the connectivity relabel below needs the host edge list; start the
-        # [n, k] adjacency fetch NOW so the tunnel transfer overlaps all the
-        # chunk solves instead of serializing after the heal
-        try:
-            idx_adj_dev.copy_to_host_async()
-        except Exception:
-            pass
     # the band layout needs whole blocks; round the window up to block size
     from .ops.cutpursuit_band import B as _BLK
 
     chunk_pad = -(-chunk_points // _BLK) * _BLK
-    halo = chunk_pad // 8
+    halo = chunk_pad // 8 if halo_points is None else int(halo_points)
     stride = chunk_pad - 2 * halo
     n_chunks = -(-n // stride)
 
@@ -240,6 +249,14 @@ def chunked_cutpursuit_device(
     lam = jnp.float32(lambda_edge_weight)
 
     t_morton = time.perf_counter() - t_morton0
+    # queue the big host copies only once chunk 0's solve is DISPATCHED
+    # (below): the tunnel serves transfers FIFO against every later small
+    # fetch, so copies issued while nothing is computing just sit on the
+    # critical path under a different stage label (morton 6.1 s in
+    # bigcloud_2e6_r5b.json, prep 9.1 s in _r5c.json); issued under queued
+    # device work they overlap the solve
+    if src is None:
+        async_fetch = list(async_fetch or ()) + [idx_adj_dev]
 
     e_chunk = 2 * chunk_pad * k_adj
     of_cap = max(4096, 1 << int(np.ceil(np.log2(max(e_chunk // 4, 2)))))
@@ -275,6 +292,14 @@ def chunked_cutpursuit_device(
             f_rows, band_w, of_src, of_tgt, of_w, nw,
             jnp.float32(reg_strength), jnp.float32(weight_decay), **solver_kw,
         )
+        if c == 0:
+            # chunk 0's prep+solve (~3-4 s of device work) is now queued —
+            # the D2H copies drain while it computes (see comment above)
+            for _arr in async_fetch or ():
+                try:
+                    _arr.copy_to_host_async()
+                except Exception:
+                    pass
         comp_core = np.asarray(comp[s - x0 : s - x0 + (e - s)])
         solve_iters.append(int(jax.device_get(it_dev)))
         t1 = time.perf_counter()
@@ -392,15 +417,6 @@ def partition_cloud_big(
     t_knn_call = time.perf_counter() - t_f0
     idx_adj_dev = bi[:, : cfg.k_nn_adj]
     d2_adj_dev = bd2[:, : cfg.k_nn_adj]
-    # start the host copies NOW so the ~0.9 GB adjacency transfer (tunnel!)
-    # overlaps the geof dispatches below instead of serializing after them
-    # (it was ~1/3 of the 204 s features stage at 1e7)
-    if host_outputs:
-        for _arr in (idx_adj_dev, d2_adj_dev):
-            try:
-                _arr.copy_to_host_async()
-            except Exception:
-                pass
 
     t_f0 = time.perf_counter()
     xyz_dev = jnp.asarray(xyz)
@@ -422,11 +438,6 @@ def partition_cloud_big(
         )
     else:
         f_dev = _assemble_features_device_nocolor(geof_dev)
-    if host_outputs:
-        try:
-            geof_dev.copy_to_host_async()
-        except Exception:
-            pass
     times["features"] = time.perf_counter() - t0
     times["features_info"] = {
         "knn_call": round(t_knn_call, 2),
@@ -446,6 +457,7 @@ def partition_cloud_big(
         lambda_edge_weight=cfg.lambda_edge_weight,
         cutoff=cfg.cp_cutoff, chunk_points=chunk_points,
         xyz_dev=xyz_dev, edge_cache=edge_cache,
+        async_fetch=[d2_adj_dev, geof_dev] if host_outputs else None,
     )
     times["partition"] = time.perf_counter() - t0
     times["cp_info"] = dict(LAST_CP_STATS)

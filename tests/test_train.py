@@ -38,6 +38,59 @@ class TestTrainer:
             losses.append(float(loss))
         assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
 
+    def test_train_steps_matches_sequential(self, rng):
+        """K steps per dispatch (lax.scan) must apply the same optimizer
+        math as K sequential train_step calls with the same per-step rng
+        derivation (split parent, fold per step)."""
+        batch = random_spg_batch(rng)
+        model = small_model()
+        trainer = Trainer(model, lr=3e-3, checkpoint_ptn=False)
+        state0 = trainer.init(jax.random.PRNGKey(0), batch)
+        parent = jax.random.PRNGKey(7)
+
+        k = 4
+        state_scan, losses, logits = trainer.train_steps(
+            state0, [batch] * k, parent
+        )
+        assert losses.shape == (k,)
+        assert logits.shape[0] == k
+
+        state_seq = state0
+        r = parent
+        seq_losses = []
+        for _ in range(k):
+            r, r_step = jax.random.split(r)
+            state_seq, loss, _ = trainer.train_step(state_seq, batch, r_step)
+            seq_losses.append(float(loss))
+        np.testing.assert_allclose(
+            np.asarray(losses), np.asarray(seq_losses), rtol=1e-5, atol=1e-6
+        )
+        flat_a = jax.tree_util.tree_leaves(state_scan.params)
+        flat_b = jax.tree_util.tree_leaves(state_seq.params)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+
+    def test_train_steps_rejects_mixed_buckets(self, rng):
+        import dataclasses
+
+        import pytest
+
+        batch = random_spg_batch(rng)
+        other = dataclasses.replace(
+            batch,
+            src=np.concatenate([np.asarray(batch.src)] * 2),
+            tgt=np.concatenate([np.asarray(batch.tgt)] * 2),
+            edge_feats=np.concatenate([np.asarray(batch.edge_feats)] * 2),
+            edge_mask=np.concatenate([np.asarray(batch.edge_mask)] * 2),
+        )
+        model = small_model()
+        trainer = Trainer(model, checkpoint_ptn=False)
+        state = trainer.init(jax.random.PRNGKey(0), batch)
+        with pytest.raises(ValueError, match="padding bucket"):
+            trainer.train_steps(state, [batch, other], jax.random.PRNGKey(1))
+
     def test_ignore_label_masking(self, rng):
         import jax.numpy as jnp
 

@@ -185,6 +185,12 @@ def main():
         run_chunked("chunked_tol0", stop_tol=0.0)
     if "chunked_tol3" in legs:
         run_chunked("chunked_tol3", stop_tol=1e-3)
+    if "chunked_tol3e3" in legs:
+        run_chunked("chunked_tol3e3", stop_tol=3e-3)
+    if "chunked_halo16" in legs:
+        # halve the halo (chunk_pad/16): stride grows ~17%, one chunk fewer
+        # at 2e6 — boundary quality must hold through the heal + relabel
+        run_chunked("chunked_halo16", halo_points=1 << 15)
 
     def run_mono(name, **kw):
         from superpoint_graph_tpu.ops.cutpursuit import merge_regions

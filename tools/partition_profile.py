@@ -106,6 +106,20 @@ def main():
             adjacency="knn", knn_edges=(src, tgt),
         )
         if record:
+            t["spg_host"] = time.perf_counter() - t0
+
+        # the production room path (pipeline.partition_cloud, device_cp)
+        # uses the device SPG builder since round 5
+        t0 = time.perf_counter()
+        from superpoint_graph_tpu.graph.spg_device import (
+            compute_sp_graph_device,
+        )
+
+        compute_sp_graph_device(
+            xyz, cfg.d_se_max, in_comp, comps, labels, 13,
+            idx_adj=dev["idx"][:n, : cfg.k_nn_adj],
+        )
+        if record:
             t["spg"] = time.perf_counter() - t0
         return comps
 
