@@ -278,12 +278,6 @@ def compute_sp_graph_device(
     com_src, com_tgt, dmean_cols, dstd_cols, dnorm, cnt_e = _superedge_stats(
         xyz_d, su, sv, cu, cv, valid, head_pair, cap=cap_e
     )
-    dmean = np.stack(
-        [np.asarray(c[:n_sedg], np.float32) for c in dmean_cols], axis=1
-    )
-    dstd = np.stack(
-        [np.asarray(c[:n_sedg], np.float32) for c in dstd_cols], axis=1
-    )
 
     # +1: the padding rows use fake component id n_com, which must stay in
     # range (a clamp would fold the far-away pad centroid into comp cap-1)
@@ -291,20 +285,6 @@ def compute_sp_graph_device(
     cent_cols, length_d, surface_d, volume_d = _component_stats_device(
         xyz_d, in_comp_d, cap=cap_c
     )
-
-    graph = {"is_nn": False}
-    cent = np.stack(
-        [np.asarray(c[:n_com], np.float32) for c in cent_cols], axis=1
-    )
-    length = np.asarray(length_d[:n_com], np.float64)
-    surface = np.asarray(surface_d[:n_com], np.float64)
-    volume = np.asarray(volume_d[:n_com], np.float64)
-    graph["sp_centroids"] = cent
-    graph["sp_length"] = length.astype(np.float32)[:, None]
-    graph["sp_surface"] = surface.astype(np.float32)[:, None]
-    graph["sp_volume"] = volume.astype(np.float32)[:, None]
-    counts = np.bincount(in_comp_h, minlength=n_com)
-    graph["sp_point_count"] = counts.astype(np.uint64)[:, None]
 
     has_labels = labels is not None and np.size(labels) > 1
     if has_labels:
@@ -321,12 +301,45 @@ def compute_sp_graph_device(
             in_comp_d, jnp.asarray(lab_pad),
             cap=cap_c, n_cols=int(n_cols), is_hist=bool(is_hist),
         )
-        graph["sp_labels"] = np.asarray(hist[:n_com], np.uint32)
     else:
-        graph["sp_labels"] = []
+        hist = None
 
-    cs = np.asarray(com_src[:n_sedg], np.int64)
-    ct = np.asarray(com_tgt[:n_sedg], np.int64)
+    # ONE tunnel round trip for every stat array: the previous 16 separate
+    # np.asarray fetches cost ~10-15 ms EACH in tunnel latency — more than
+    # the host SPG builder's entire segment-stats pass at room scale
+    (dmean_h, dstd_h, dnorm_h, cs_f, ct_f, cent_h, length_f, surface_f,
+     volume_f, hist_f) = jax.device_get((
+        tuple(dmean_cols), tuple(dstd_cols), dnorm, com_src, com_tgt,
+        tuple(cent_cols), length_d, surface_d, volume_d,
+        hist if hist is not None else n_sedg_d,
+    ))
+    dmean = np.stack(
+        [np.asarray(c[:n_sedg], np.float32) for c in dmean_h], axis=1
+    )
+    dstd = np.stack(
+        [np.asarray(c[:n_sedg], np.float32) for c in dstd_h], axis=1
+    )
+    dnorm = dnorm_h
+
+    graph = {"is_nn": False}
+    cent = np.stack(
+        [np.asarray(c[:n_com], np.float32) for c in cent_h], axis=1
+    )
+    length = np.asarray(length_f[:n_com], np.float64)
+    surface = np.asarray(surface_f[:n_com], np.float64)
+    volume = np.asarray(volume_f[:n_com], np.float64)
+    graph["sp_centroids"] = cent
+    graph["sp_length"] = length.astype(np.float32)[:, None]
+    graph["sp_surface"] = surface.astype(np.float32)[:, None]
+    graph["sp_volume"] = volume.astype(np.float32)[:, None]
+    counts = np.bincount(in_comp_h, minlength=n_com)
+    graph["sp_point_count"] = counts.astype(np.uint64)[:, None]
+    graph["sp_labels"] = (
+        np.asarray(hist_f[:n_com], np.uint32) if has_labels else []
+    )
+
+    cs = np.asarray(cs_f[:n_sedg], np.int64)
+    ct = np.asarray(ct_f[:n_sedg], np.int64)
     graph["source"] = cs.astype(np.uint32)[:, None]
     graph["target"] = ct.astype(np.uint32)[:, None]
     graph["se_delta_mean"] = dmean

@@ -306,10 +306,17 @@ def _solve_band(
     icm_sweeps: int = 3,
     flow_steps: int = 2,
     power_iters: int = 8,
-    cc_rounds: int = 16,
+    # cc_rounds is a safety CAP (the CC while-loop exits on convergence) —
+    # 24 gives headroom over the observed ~10-14 rounds/iter at zero cost;
+    # 16 was measured BINDING at 2e6 (silent under-convergence,
+    # BASELINE.md r5). ONE pointer jump per hook: 2 and 3 jumps left
+    # cc_rounds AND labels identical at 60k square and 500k narrow while
+    # costing an n-sized gather each per round (tools/
+    # band_profile_results.json region_jumps1, tools/room_knobs_results.json)
+    cc_rounds: int = 24,
     cc_sweeps_per_round: int = 4,
     cc_hooks: int = 1,
-    cc_jumps: int = 3,
+    cc_jumps: int = 1,
     accept: str = "global",
     geom: tuple[int, int] | None = None,
     stop_tol: float = 0.0,

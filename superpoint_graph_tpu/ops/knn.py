@@ -953,6 +953,14 @@ def compute_graph_nn(xyz: np.ndarray, k_nn: int):
 BIGCLOUD_THRESHOLD = 300_000  # points; above this brute force stops paying
 
 
+@partial(jax.jit, static_argnames=("k_geof", "k_adj"))
+def _knn_with_adj(xyz_in, *, k_geof: int, k_adj: int):
+    """knn + the [:, :k_adj] adjacency columns in ONE executable — each
+    eager slice on the tunneled backend costs a ~10-20 ms RPC."""
+    idx, d2 = knn(xyz_in, k_geof)
+    return idx, d2, idx[:, :k_adj], d2[:, :k_adj]
+
+
 def compute_graph_nn_2(
     xyz: np.ndarray, k_nn_adj: int, k_nn_geof: int, voronoi: float = 0.0,
     return_device: bool = False, bigcloud_threshold: int | None = None,
@@ -993,6 +1001,8 @@ def compute_graph_nn_2(
         bi, bd2, _ = knn_bigcloud(np.asarray(xyz, np.float32), k_nn_geof)
         idx_dev = jnp.pad(bi, ((0, n_pad - n), (0, 0)))
         d2_dev = jnp.pad(bd2, ((0, n_pad - n), (0, 0)), constant_values=_INF)
+        idx_adj_dev = idx_dev[:n, :k_nn_adj]
+        d2_adj_dev = d2_dev[:n, :k_nn_adj]
     else:
         if n_pad > n:
             far = np.full((n_pad - n, 3), 1e17, np.float32) + np.arange(
@@ -1001,12 +1011,16 @@ def compute_graph_nn_2(
             xyz_in = np.concatenate([np.asarray(xyz, np.float32), far])
         else:
             xyz_in = np.asarray(xyz, np.float32)
-        idx_dev, d2_dev = knn(jnp.asarray(xyz_in, jnp.float32), k_nn_geof)
+        # fused: the adjacency columns come out of the SAME executable
+        # ([n_pad, k_adj] incl. pad rows — sliced to n on host after the
+        # fetch); eager [:n, :k] slices cost one tunnel RPC each
+        idx_dev, d2_dev, idx_adj_dev, d2_adj_dev = _knn_with_adj(
+            jnp.asarray(xyz_in, jnp.float32), k_geof=k_nn_geof,
+            k_adj=k_nn_adj,
+        )
     # fetch only the adjacency columns (k_adj << k_geof); the geof neighbor
     # table stays ON DEVICE for ops/geof — device->host transfers over a
     # tunneled chip are the hidden cost of the features stage
-    idx_adj_dev = idx_dev[:n, :k_nn_adj]
-    d2_adj_dev = d2_dev[:n, :k_nn_adj]
     idx = idx_dev[:n]
     if defer_fetch and return_device and voronoi == 0:
         for a in (idx_adj_dev, d2_adj_dev):
@@ -1020,8 +1034,8 @@ def compute_graph_nn_2(
         }
         dev = {"idx": idx_dev, "d2": d2_dev, "n_pad": n_pad}
         return graph, idx[:, :k_nn_geof], dev
-    idx_adj = np.asarray(idx_adj_dev)
-    dist = np.sqrt(np.asarray(d2_adj_dev))
+    idx_adj = np.asarray(idx_adj_dev)[:n]
+    dist = np.sqrt(np.asarray(d2_adj_dev)[:n])
     source = np.repeat(np.arange(n, dtype=np.uint32), k_nn_adj)
     target = idx_adj.reshape(-1).astype(np.uint32)
     distances = dist.reshape(-1).astype(np.float32)
@@ -1069,8 +1083,10 @@ def materialize_graph_nn(graph: dict) -> dict:
     if deferred is None:
         return graph
     n, k_nn_adj, idx_adj_dev, d2_adj_dev = deferred
-    idx_adj = np.asarray(idx_adj_dev)
-    dist = np.sqrt(np.maximum(np.asarray(d2_adj_dev), 0.0))
+    # the deferred handles may carry n_pad rows (fused small-cloud path) —
+    # slice to the real count AFTER the (async-completed) fetch
+    idx_adj = np.asarray(idx_adj_dev)[:n]
+    dist = np.sqrt(np.maximum(np.asarray(d2_adj_dev)[:n], 0.0))
     graph["source"] = np.repeat(np.arange(n, dtype=np.uint32), k_nn_adj)
     graph["target"] = idx_adj.reshape(-1).astype(np.uint32)
     graph["distances"] = dist.reshape(-1).astype(np.float32)

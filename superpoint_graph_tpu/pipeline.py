@@ -229,34 +229,27 @@ def partition_cloud(
     times["partition"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    if device_cp and cfg.spg_adjacency == "knn":
-        # the kNN table is already device-resident — the device SPG builder
-        # (same contract, tests/test_spg.py parity) replaces the ~0.10 s
-        # host segment-stats pass at the 60k bench shape
-        from .graph.spg_device import compute_sp_graph_device
-
-        graph_sp = compute_sp_graph_device(
-            np.asarray(xyz, np.float32), cfg.d_se_max, in_component,
-            components, labels, n_labels,
-            idx_adj=dev["idx"][: len(xyz), : cfg.k_nn_adj],
-        )
-    else:
-        graph_sp = compute_sp_graph(
-            xyz,
-            cfg.d_se_max,
-            in_component,
-            components,
-            labels,
-            n_labels,
-            adjacency=cfg.spg_adjacency,
-            # 'knn' mode reuses the partition's adjacency edges as superedge
-            # support instead of a second kNN search
-            knn_edges=(
-                (graph_nn["source"], graph_nn["target"])
-                if cfg.spg_adjacency == "knn"
-                else None
-            ),
-        )
+    # (the device SPG builder was A/B'd here in round 5 and LOST at room
+    # scale — 0.18 vs 0.12 s host in the same run: its scalar syncs + small
+    # kernels are tunnel-RPC-bound below ~10^5 points. It remains the giant
+    # path's builder, where the host pass is the one that doesn't scale —
+    # tools/partition_profile_results.json spg vs spg_host.)
+    graph_sp = compute_sp_graph(
+        xyz,
+        cfg.d_se_max,
+        in_component,
+        components,
+        labels,
+        n_labels,
+        adjacency=cfg.spg_adjacency,
+        # 'knn' mode reuses the partition's adjacency edges as superedge
+        # support instead of a second kNN search
+        knn_edges=(
+            (graph_nn["source"], graph_nn["target"])
+            if cfg.spg_adjacency == "knn"
+            else None
+        ),
+    )
     times["spg"] = time.perf_counter() - t0
 
     return PartitionResult(

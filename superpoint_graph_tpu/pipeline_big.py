@@ -379,6 +379,7 @@ def partition_cloud_big(
     chunk_points: int = 1 << 19,
     geof_chunk: int = 1 << 21,
     host_outputs: bool = True,
+    cp_solver_kw: dict | None = None,
 ):
     """Full partition (prune -> kNN -> geof -> CP -> SPG) of one giant cloud
     on a single chip, all stages memory-bounded. Returns a PartitionResult
@@ -458,6 +459,7 @@ def partition_cloud_big(
         cutoff=cfg.cp_cutoff, chunk_points=chunk_points,
         xyz_dev=xyz_dev, edge_cache=edge_cache,
         async_fetch=[d2_adj_dev, geof_dev] if host_outputs else None,
+        **(cp_solver_kw or {}),
     )
     times["partition"] = time.perf_counter() - t0
     times["cp_info"] = dict(LAST_CP_STATS)

@@ -33,6 +33,10 @@ def main():
                     help="Morton chunk size for the banded CP solver")
     ap.add_argument("--out", type=str, default="bigcloud_partition_results.json",
                     help="results filename (under tools/)")
+    ap.add_argument("--r4_mode", action="store_true",
+                    help="run the solver with the round-4 knobs (global "
+                    "accept, max_iter 8, no tol stop, jumps 3, rounds 16) "
+                    "— the like-for-like arm for the 44.2 s r4 receipt")
     args = ap.parse_args()
 
     from superpoint_graph_tpu.pipeline import PartitionConfig
@@ -47,15 +51,21 @@ def main():
             k_nn_adj=args.k_nn_adj, reg_strength=args.reg_strength,
             spg_adjacency="knn",
         )
+        solver_kw = dict(
+            accept="global", max_iter=8, stop_tol=0.0, cc_jumps=3,
+            cc_rounds=16,
+        ) if args.r4_mode else None
         cold = None
         if args.warm:
             t0 = time.perf_counter()
             partition_cloud_big(xyz, rgb, cfg=cfg,
-                                chunk_points=args.chunk_points)
+                                chunk_points=args.chunk_points,
+                                cp_solver_kw=solver_kw)
             cold = time.perf_counter() - t0
         t0 = time.perf_counter()
         res = partition_cloud_big(xyz, rgb, cfg=cfg,
-                                  chunk_points=args.chunk_points)
+                                  chunk_points=args.chunk_points,
+                                  cp_solver_kw=solver_kw)
         total = time.perf_counter() - t0
         row = {
             "n_points": int(len(xyz)),

@@ -106,10 +106,11 @@ def main():
             adjacency="knn", knn_edges=(src, tgt),
         )
         if record:
-            t["spg_host"] = time.perf_counter() - t0
+            t["spg"] = time.perf_counter() - t0
 
-        # the production room path (pipeline.partition_cloud, device_cp)
-        # uses the device SPG builder since round 5
+        # the device SPG builder (giant-path default) — A/B'd for the room
+        # path in round 5 and REJECTED: tunnel-RPC-bound at this scale
+        # (0.18 vs 0.12 s host in the same run)
         t0 = time.perf_counter()
         from superpoint_graph_tpu.graph.spg_device import (
             compute_sp_graph_device,
@@ -120,7 +121,7 @@ def main():
             idx_adj=dev["idx"][:n, : cfg.k_nn_adj],
         )
         if record:
-            t["spg"] = time.perf_counter() - t0
+            t["spg_device"] = time.perf_counter() - t0
         return comps
 
     run_once(record=False)  # warm
@@ -132,7 +133,8 @@ def main():
             best[k] = min(best.get(k, float("inf")), v)
     t.clear()
     t.update(best)
-    t["total"] = sum(v for k, v in t.items())
+    # production room-path total: spg_device is the rejected alternative
+    t["total"] = sum(v for k, v in t.items() if k != "spg_device")
     t["n_superpoints"] = len(comps)
     for k, v in t.items():
         t[k] = round(v, 4)
