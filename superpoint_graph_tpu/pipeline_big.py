@@ -249,14 +249,22 @@ def chunked_cutpursuit_device(
     lam = jnp.float32(lambda_edge_weight)
 
     t_morton = time.perf_counter() - t_morton0
-    # queue the big host copies only once chunk 0's solve is DISPATCHED
-    # (below): the tunnel serves transfers FIFO against every later small
-    # fetch, so copies issued while nothing is computing just sit on the
-    # critical path under a different stage label (morton 6.1 s in
-    # bigcloud_2e6_r5b.json, prep 9.1 s in _r5c.json); issued under queued
-    # device work they overlap the solve
+    # queue the big host copies AFTER the morton perm fetch, BEFORE the
+    # chunk loop. The tunnel serves transfers FIFO against later fetches,
+    # so no placement fully hides them; the A/B receipts: issued BEFORE
+    # morton -> the perm fetch eats the wait (morton 6.1 s, _r5b.json);
+    # issued IN-LOOP after chunk-0's solve dispatch -> 26 chunks of
+    # solve/merge fetches queue behind 800 MB at 1e7 (group 20.7 -> 71.5 s,
+    # bigcloud_1e7_r5b.json). Post-morton measured best at both scales
+    # (2e6 50.4 s / 1e7 276.2 s): the first prep fetch absorbs the wait
+    # once, everything after runs clear.
     if src is None:
         async_fetch = list(async_fetch or ()) + [idx_adj_dev]
+    for _arr in async_fetch or ():
+        try:
+            _arr.copy_to_host_async()
+        except Exception:
+            pass
 
     e_chunk = 2 * chunk_pad * k_adj
     of_cap = max(4096, 1 << int(np.ceil(np.log2(max(e_chunk // 4, 2)))))
@@ -292,14 +300,6 @@ def chunked_cutpursuit_device(
             f_rows, band_w, of_src, of_tgt, of_w, nw,
             jnp.float32(reg_strength), jnp.float32(weight_decay), **solver_kw,
         )
-        if c == 0:
-            # chunk 0's prep+solve (~3-4 s of device work) is now queued —
-            # the D2H copies drain while it computes (see comment above)
-            for _arr in async_fetch or ():
-                try:
-                    _arr.copy_to_host_async()
-                except Exception:
-                    pass
         comp_core = np.asarray(comp[s - x0 : s - x0 + (e - s)])
         solve_iters.append(int(jax.device_get(it_dev)))
         t1 = time.perf_counter()
