@@ -890,18 +890,9 @@ def knn_bigcloud(
     t0 = time.perf_counter()
     n_bad = len(pending)
     if n_bad:
-        fidx = pending.astype(np.int64)
+        fidx_all = pending.astype(np.int64)
         bq = 256
-        bdb_fb = SAMPLE_DB_BLOCK  # 65536-wide approx_min_k pathology as above
-        # bucket query rows to powers of two and db rows to 2^20 granularity
-        # so straggler counts / cloud sizes reuse executables; recall 0.95
-        # (vs 0.99) cuts this one-shot compile ~10x — stragglers then see
-        # ~per-tile 0.95 recall on a k+1-wide pool, within the pipeline's
-        # measured 99.5% end-to-end agreement envelope
-        mq = max(bq, 1 << int(np.ceil(np.log2(max(n_bad, 2)))))
-        q = np.full((mq, 3), 2e17, np.float32)
-        q[:n_bad] = xyz[fidx]
-        bdb = bdb_fb
+        bdb = SAMPLE_DB_BLOCK  # 65536-wide approx_min_k pathology as above
         if db_dev is not None:
             # reuse the resident padded db (no ~40 MB host rebuild + upload)
             db_arr = db_dev
@@ -914,23 +905,38 @@ def knn_bigcloud(
             if ndb2 > n:
                 db[n:] = 1e17 + np.arange(ndb2 - n, dtype=np.float32)[:, None]
             db_arr = jnp.asarray(db)
-        fi, fd = knn_vs_db_jit(
-            jnp.asarray(q), db_arr, k + 1,
-            block_q=bq, block_db=bdb, recall_target=0.95,
-        )
-        fi = np.asarray(fi[:n_bad])
-        fd = np.asarray(fd[:n_bad])
-        is_self = fi == fidx[:, None]
-        ordr = np.argsort(np.where(is_self, _INF, fd), axis=1)[:, :k]
-        fi = np.take_along_axis(fi, ordr, axis=1).astype(np.int32)
-        fd = np.take_along_axis(fd, ordr, axis=1)
-        out_i = _scatter_rows(
-            out_i, jnp.asarray(fidx.astype(np.int32)), jnp.asarray(fi)
-        )
-        out_d = _scatter_rows(
-            out_d, jnp.asarray(fidx.astype(np.int32)),
-            jnp.asarray(fd.astype(np.float32)),
-        )
+        # BOUNDED query slices per dispatch: one knn_vs_db_jit program over
+        # tens of thousands of stragglers x a >10M-row db runs for minutes
+        # and the tunneled TPU worker KILLS it ("worker crashed or
+        # restarted" kernel fault — the 1e8 Semantic3D headline at 12.8M
+        # voxels, r5; the isolated 256-query program at the same db shape
+        # runs fine). 8192 queries x 13.6M rows ~ a few seconds per program.
+        # Query rows bucket to powers of two (recall 0.95 one-shots, same
+        # envelope as the ladder) so straggler counts reuse executables.
+        fb_chunk = 8192
+        for s0 in range(0, n_bad, fb_chunk):
+            fidx = fidx_all[s0 : s0 + fb_chunk]
+            nb = len(fidx)
+            mq = max(bq, 1 << int(np.ceil(np.log2(max(nb, 2)))))
+            q = np.full((mq, 3), 2e17, np.float32)
+            q[:nb] = xyz[fidx]
+            fi, fd = knn_vs_db_jit(
+                jnp.asarray(q), db_arr, k + 1,
+                block_q=bq, block_db=bdb, recall_target=0.95,
+            )
+            fi = np.asarray(fi[:nb])
+            fd = np.asarray(fd[:nb])
+            is_self = fi == fidx[:, None]
+            ordr = np.argsort(np.where(is_self, _INF, fd), axis=1)[:, :k]
+            fi = np.take_along_axis(fi, ordr, axis=1).astype(np.int32)
+            fd = np.take_along_axis(fd, ordr, axis=1)
+            out_i = _scatter_rows(
+                out_i, jnp.asarray(fidx.astype(np.int32)), jnp.asarray(fi)
+            )
+            out_d = _scatter_rows(
+                out_d, jnp.asarray(fidx.astype(np.int32)),
+                jnp.asarray(fd.astype(np.float32)),
+            )
     t_stage["check_and_fallback"] = time.perf_counter() - t0
 
     info = {
