@@ -36,6 +36,10 @@ _INF = jnp.float32(3.4e38)
 # size is a multiple). 65536-wide approx_min_k tiles are the round-2 compile
 # pathology (CLAUDE.md); 8192 tiles compile benignly.
 SAMPLE_DB_BLOCK = 8192
+# queries per straggler-fallback dispatch: ONE program over all stragglers
+# x a >10M-row db runs minutes and the tunneled worker kills it (1e8
+# headline, BASELINE.md r5); tests shrink this to force the slice loop
+FALLBACK_QUERY_CHUNK = 8192
 
 
 def _pad_rows(x: jax.Array, to: int, fill: float = 0.0) -> jax.Array:
@@ -913,7 +917,7 @@ def knn_bigcloud(
         # runs fine). 8192 queries x 13.6M rows ~ a few seconds per program.
         # Query rows bucket to powers of two (recall 0.95 one-shots, same
         # envelope as the ladder) so straggler counts reuse executables.
-        fb_chunk = 8192
+        fb_chunk = FALLBACK_QUERY_CHUNK
         for s0 in range(0, n_bad, fb_chunk):
             fidx = fidx_all[s0 : s0 + fb_chunk]
             nb = len(fidx)

@@ -67,6 +67,26 @@ def test_bigcloud_fallback_on_sparse_outliers(rng):
     assert _set_agreement(ei, bi) > 0.995
 
 
+def test_bigcloud_fallback_chunked_queries(rng, monkeypatch):
+    """The straggler fallback dispatches BOUNDED query slices (one program
+    over tens of thousands of stragglers x a >10M-row db tripped the
+    tunneled TPU worker's watchdog — BASELINE.md r5). With the chunk size
+    forced below the straggler count, the multi-slice loop must still be
+    exact for every straggler."""
+    import superpoint_graph_tpu.ops.knn as knn_mod
+
+    xyz, _, _, _ = synthetic_room(rng, n_points=3000)
+    outliers = rng.rand(40, 3).astype(np.float32) * 60.0 + 12.0
+    xyz = np.concatenate([xyz, outliers]).astype(np.float32)
+    k = 6
+    monkeypatch.setattr(knn_mod, "FALLBACK_QUERY_CHUNK", 16)
+    ei, ed = _exact(xyz, k)
+    bi, bd, info = knn_bigcloud(xyz, k)
+    assert info["n_fallback"] > 16  # the loop really ran >1 slice
+    bi = np.asarray(bi)
+    assert _set_agreement(ei[3000:], bi[3000:]) == 1.0
+
+
 def test_bigcloud_duplicate_points(rng):
     """Zero-distance duplicates must not be matched to themselves."""
     base = rng.rand(500, 3).astype(np.float32)
