@@ -80,11 +80,12 @@ def build_dataset(root: str):
     preprocess_pointclouds(root, "s3dis", 13)
 
 
-def flax_arm(root: str) -> dict:
+def flax_arm(root: str, seed: int = 1) -> dict:
     from superpoint_graph_tpu.cli import train as cli_train
 
-    odir = os.path.join(root, "results_flax")
+    odir = os.path.join(root, f"results_flax_s{seed}")
     cli_train.main([
+        "--seed", str(seed),
         "--dataset", "s3dis", "--S3DIS_PATH", root, "--cvfold", str(CVFOLD),
         "--odir", odir, "--epochs", str(EPOCHS), "--lr", str(LR),
         "--lr_steps", str(LR_STEPS), "--lr_decay", str(LR_DECAY),
@@ -157,12 +158,12 @@ def torch_union(samples):
     }
 
 
-def torch_arm(root: str) -> dict:
+def torch_arm(root: str, seed: int = 1) -> dict:
     import torch
     import torch.nn.functional as F
 
     torch.set_num_threads(1)
-    torch.manual_seed(1)
+    torch.manual_seed(seed)
     if "igraph" not in sys.modules:
         sys.modules["igraph"] = types.ModuleType("igraph")
     if REF not in sys.path:
@@ -289,7 +290,7 @@ def torch_arm(root: str) -> dict:
     sched = torch.optim.lr_scheduler.MultiStepLR(
         opt, milestones=LR_STEPS, gamma=LR_DECAY
     )
-    rng_np = np.random.RandomState(1)
+    rng_np = np.random.RandomState(seed)
     names = [e[4] for e in trainlist]
     parsed = lambda name: os.path.join(root, "parsed", name + ".h5")  # noqa
 
@@ -408,25 +409,46 @@ def torch_arm(root: str) -> dict:
 
 
 def main():
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("--seeds", type=int, nargs="+", default=[1],
+                    help="training seeds; the dataset/partitions are fixed "
+                    "so the spread is pure training noise in BOTH stacks")
+    args = ap.parse_args()
+
     t0 = time.time()
     root = tempfile.mkdtemp(prefix="spgt_parity_")
     build_dataset(root)
     print(f"dataset built ({time.time()-t0:.0f}s)", flush=True)
 
-    t1 = time.time()
-    flax = flax_arm(root)
-    print("flax arm", flax, f"({time.time()-t1:.0f}s)", flush=True)
+    runs = []
+    for seed in args.seeds:
+        t1 = time.time()
+        flax = flax_arm(root, seed)
+        print(f"flax arm s{seed}", flax, f"({time.time()-t1:.0f}s)",
+              flush=True)
+        t2 = time.time()
+        tor = torch_arm(root, seed)
+        print(f"torch arm s{seed}", tor, f"({time.time()-t2:.0f}s)",
+              flush=True)
+        runs.append({"seed": seed, "flax_trained": flax,
+                     "torch_trained": tor,
+                     "delta_miou_flax_minus_torch": round(
+                         100 * (flax["miou"] - tor["miou"]), 2)})
 
-    t2 = time.time()
-    tor = torch_arm(root)
-    print("torch arm", tor, f"({time.time()-t2:.0f}s)", flush=True)
-
+    flax, tor = runs[0]["flax_trained"], runs[0]["torch_trained"]
     out = {
         "flax_trained": flax,
         "torch_trained": tor,
-        "delta_miou_flax_minus_torch": round(
-            100 * (flax["miou"] - tor["miou"]), 2
-        ),
+        "delta_miou_flax_minus_torch": runs[0][
+            "delta_miou_flax_minus_torch"
+        ],
+        "runs": runs,
+        "miou_flax_per_seed": [round(r["flax_trained"]["miou"], 4)
+                               for r in runs],
+        "miou_torch_per_seed": [round(r["torch_trained"]["miou"], 4)
+                                for r in runs],
         "epochs": EPOCHS, "model_config": MODEL_CONFIG,
         "seconds_total": round(time.time() - t0, 1),
         "root": root,
